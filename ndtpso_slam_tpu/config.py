@@ -1,0 +1,135 @@
+"""Configuration dataclasses for the TPU-native NDT-PSO engine.
+
+The reference (`/root/reference`) has a three-tier config system: compile-time
+defines (`include/ndtpso_slam/config.h:5-25`), runtime structs
+`PSOConfig`/`NDTPSOConfig` (`config.h:27-45`), and ROS params overriding them
+(`src/ndtpso_slam_node.cpp:15-39`). Here everything collapses into frozen,
+hashable dataclasses that are consumed at `jit`-trace time: every field that
+affects array shapes or compiled control flow is static by construction.
+
+Note: the reference node has a param bug where ``pso_c2`` is read into
+``coeff.c1`` (`ndtpso_slam_node.cpp:34`), making c2 unsettable from ROS.  We do
+not replicate that node-level bug: :attr:`PSOConfig.c2` is a real knob.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Defaults mirroring /root/reference/include/ndtpso_slam/config.h:5-25
+NDT_MAX_POINTS_PER_CELL = 50
+NDT_WINDOW_SIZE = 100
+LASER_IGNORE_EPSILON = 0.1
+PSO_ITERATIONS = 50
+PSO_POPULATION_SIZE = 30
+PSO_W = 0.8
+PSO_C1 = 2.0
+PSO_C2 = 2.0
+PSO_W_DAMPING = 1.0  # "w_dumping" in the reference
+
+# Defaults mirroring /root/reference/include/ndtpso_slam_node.hpp:17-34 and
+# launch/scan.launch:10-16
+DEFAULT_FRAME_SIZE_M = 300
+DEFAULT_CELL_SIZE_M = 0.5
+DEFAULT_OG_CELL_SIZE_M = 0.1
+DEFAULT_RATE_HZ = 10
+
+# NDTFrame::align's cold-start particle deviation (`ndtframe.cpp:253`).
+FIRST_DEVIATION: Tuple[float, float, float] = (0.1, 0.1, 3.1415e-3)
+# Near-zero deviation used to seed the initial global best (`core.cpp:53`).
+ZERO_DEVIATION: Tuple[float, float, float] = (1e-4, 1e-4, 1e-5)
+
+
+@dataclasses.dataclass(frozen=True)
+class PSOConfig:
+    """Particle swarm hyper-parameters (reference `config.h:27-38`).
+
+    ``num_threads`` from the reference has no analogue: particle parallelism is
+    a ``vmap`` axis, the chip decides the schedule.
+    """
+
+    iterations: int = PSO_ITERATIONS
+    population: int = PSO_POPULATION_SIZE
+    w: float = PSO_W
+    c1: float = PSO_C1
+    c2: float = PSO_C2
+    w_damping: float = PSO_W_DAMPING
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Geometry + sliding-window budget of the NDT grid map.
+
+    Mirrors `NDTFrame` construction (`ndtframe.cpp:19-66`) and the per-cell
+    window macros (`ndtcell.h:13-18`, `config.h:5-8`).  The map is always a
+    square, origin-centred frame, like every frame the reference node builds
+    (`ndtpso_slam_node.cpp:64-78`).
+    """
+
+    size_m: float = float(DEFAULT_FRAME_SIZE_M)
+    cell_side_m: float = DEFAULT_CELL_SIZE_M
+    window_slots: int = NDT_WINDOW_SIZE
+    slot_capacity: int = NDT_MAX_POINTS_PER_CELL
+
+    @property
+    def cells_per_side(self) -> int:
+        # uint16(ceil(width / cell_side)), ndtframe.cpp:27-28
+        return int(math.ceil(self.size_m / self.cell_side_m))
+
+    @property
+    def num_cells(self) -> int:
+        return self.cells_per_side * self.cells_per_side
+
+    @property
+    def half_size_m(self) -> float:
+        # s_x_min/s_x_max = ∓width/2 (ndtframe.cpp:57-65)
+        return self.size_m / 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Laser-scan ingestion parameters (`ndtframe.cpp:144-185`).
+
+    ``max_beams`` is the static padded beam count; real scans are masked.
+    """
+
+    max_beams: int = 1024
+    ignore_epsilon: float = LASER_IGNORE_EPSILON
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyGridConfig:
+    """Occupancy-grid raster config (`ndtframe.cpp:32-45`, node hpp:34)."""
+
+    cell_size_m: float = DEFAULT_OG_CELL_SIZE_M
+    enabled: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Full sequential-SLAM configuration: the `scan.launch` analogue."""
+
+    pso: PSOConfig = PSOConfig()
+    map: MapConfig = MapConfig()
+    scan: ScanConfig = ScanConfig()
+    og: OccupancyGridConfig = OccupancyGridConfig(enabled=False)
+    first_deviation: Tuple[float, float, float] = FIRST_DEVIATION
+    # align() widens the search to twice the last inter-scan motion
+    # (ndtframe.cpp:253).
+    deviation_scale: float = 2.0
+    # 'fast' = frozen-correspondence MXU cost, 'exact' = reference gather cost.
+    cost_mode: str = "exact"
+    dtype: object = jnp.float32
+
+
+def scan_launch_config() -> SlamConfig:
+    """The canonical `launch/scan.launch:10-16` configuration."""
+    return SlamConfig(
+        pso=PSOConfig(iterations=30, population=50),
+        map=MapConfig(size_m=300.0, cell_side_m=0.5),
+        og=OccupancyGridConfig(cell_size_m=0.1, enabled=True),
+    )

@@ -1,0 +1,124 @@
+"""Synthetic 2-D LiDAR worlds: segment maps, raycast scans, trajectories.
+
+The reference validates end-to-end against recorded rosbags viewed in RViz
+(SURVEY.md §4); this module replaces that with *generated* ground truth: an
+axis-segment world, an exact raycaster, and smooth trajectories, so every test
+and benchmark knows the true pose of every scan.  Pure NumPy — host-side data
+generation, not part of the compiled path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class ScanLog(NamedTuple):
+    """A recorded (or synthesized) scan log with ground truth."""
+
+    ranges: np.ndarray  # [T, B] float32, 0 where no return
+    poses: np.ndarray  # [T, 3] ground-truth sensor poses
+    odoms: np.ndarray  # [T, 3] noisy odometry poses
+    timestamps: np.ndarray  # [T]
+    angle_min: float
+    angle_increment: float
+    range_max: float
+
+
+def box_segments(cx, cy, w, h) -> np.ndarray:
+    """Axis-aligned box outline as 4 segments [4, 4] = (x1, y1, x2, y2)."""
+    x0, x1 = cx - w / 2, cx + w / 2
+    y0, y1 = cy - h / 2, cy + h / 2
+    return np.array(
+        [[x0, y0, x1, y0], [x1, y0, x1, y1], [x1, y1, x0, y1], [x0, y1, x0, y0]],
+        dtype=np.float64,
+    )
+
+
+def make_world(seed: int = 0, size: float = 40.0, n_boxes: int = 6) -> np.ndarray:
+    """A room with random interior boxes. Returns segments [M, 4]."""
+    rs = np.random.RandomState(seed)
+    segs = [box_segments(0, 0, size, size)]
+    for _ in range(n_boxes):
+        cx, cy = rs.uniform(-size * 0.35, size * 0.35, 2)
+        w, h = rs.uniform(1.0, 4.0, 2)
+        segs.append(box_segments(cx, cy, w, h))
+    return np.concatenate(segs, axis=0)
+
+
+def raycast(
+    segments: np.ndarray,
+    pose: np.ndarray,
+    n_beams: int,
+    angle_min: float,
+    angle_increment: float,
+    range_max: float,
+) -> np.ndarray:
+    """Exact ray-segment intersection ranges from one pose. [B] float64."""
+    angles = pose[2] + angle_min + angle_increment * np.arange(n_beams)
+    d = np.stack([np.cos(angles), np.sin(angles)], axis=-1)  # [B, 2]
+    o = pose[:2]
+    p1 = segments[:, 0:2]
+    e = segments[:, 2:4] - p1  # [M, 2]
+    w = p1 - o  # [M, 2]
+    # Solve o + t d = p1 + s e: cross products per (beam, segment).
+    denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]  # [B, M]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (w[None, :, 0] * e[None, :, 1] - w[None, :, 1] * e[None, :, 0]) / denom
+        s = (w[None, :, 0] * d[:, None, 1] - w[None, :, 1] * d[:, None, 0]) / denom
+    hit = (np.abs(denom) > 1e-12) & (t > 1e-6) & (s >= 0.0) & (s <= 1.0)
+    t = np.where(hit, t, np.inf)
+    r = t.min(axis=1)
+    return np.where(np.isfinite(r) & (r < range_max), r, 0.0)
+
+
+def circle_trajectory(t: np.ndarray, radius: float = 8.0, omega: float = 0.15):
+    """Smooth loop: position on a circle, heading tangent."""
+    a = omega * t
+    return np.stack(
+        [radius * np.cos(a), radius * np.sin(a), a + np.pi / 2], axis=-1
+    )
+
+
+def make_log(
+    seed: int = 0,
+    n_scans: int = 50,
+    n_beams: int = 360,
+    world_size: float = 40.0,
+    range_max: float = 30.0,
+    dt: float = 0.1,
+    range_noise: float = 0.0,
+    odom_noise: float = 0.0,
+    trajectory: Optional[np.ndarray] = None,
+    segments: Optional[np.ndarray] = None,
+) -> ScanLog:
+    """Synthesize a full scan log with ground truth and noisy odometry."""
+    rs = np.random.RandomState(seed + 1)
+    if segments is None:
+        segments = make_world(seed, size=world_size)
+    ts = np.arange(n_scans) * dt
+    if trajectory is None:
+        trajectory = circle_trajectory(ts)
+    angle_min = -np.pi
+    angle_increment = 2 * np.pi / n_beams
+    ranges = np.zeros((n_scans, n_beams), np.float64)
+    for i in range(n_scans):
+        ranges[i] = raycast(
+            segments, trajectory[i], n_beams, angle_min, angle_increment, range_max
+        )
+    if range_noise > 0:
+        noise = rs.normal(0, range_noise, ranges.shape)
+        ranges = np.where(ranges > 0, np.maximum(ranges + noise, 0.01), 0.0)
+    odoms = trajectory + (
+        rs.normal(0, odom_noise, trajectory.shape) if odom_noise > 0 else 0.0
+    )
+    return ScanLog(
+        ranges=ranges.astype(np.float32),
+        poses=trajectory.astype(np.float64),
+        odoms=np.asarray(odoms, np.float64),
+        timestamps=ts,
+        angle_min=float(angle_min),
+        angle_increment=float(angle_increment),
+        range_max=float(range_max),
+    )

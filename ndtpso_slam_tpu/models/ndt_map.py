@@ -1,0 +1,266 @@
+"""Dense, batched NDT grid map state and its ingestion/build transforms.
+
+The reference models the map as ``vector<NDTCell>`` where each cell owns raw
+point buffers and a 100-slot sliding window of partial sums
+(`ndtcell.h:63-81`, `ndtcell.cpp:21-68`).  Pointer-chasing objects are the
+opposite of TPU-idiomatic, so here the whole map is a pytree of dense arrays
+over the flattened cell grid ``[C, ...]``:
+
+* ingestion (`NDTCell::addPoint`, `ndtcell.cpp:21-34`) becomes one masked
+  scatter-add over ``[N]`` scan points;
+* the lazy per-cell ``build()`` (`ndtcell.cpp:36-68`) becomes one dense masked
+  update over ``[C]`` cells — the sliding-window ring buffer is indexed with a
+  per-cell ``take/put_along_axis`` so each build touches exactly one slot per
+  cell, O(C) traffic, not O(C*S);
+* the raw per-slot point buffers are *eliminated*: the covariance contribution
+  of the current slot around the (freshly updated) mean
+  (`ndtcell.cpp:46-55`) is computed from the slot's running second moment via
+  ``Σ(p-μ)(p-μ)' = M2 - μs' - sμ' + nμμ'`` — algebraically identical, no
+  point storage.
+
+Precision: every stored moment is *centred on its cell's centre*.  Raw second
+moments of points 150 m from the origin are ~1e4 m² and float32 would lose the
+~1e-2 m² cell variance entirely; centred, every stored quantity is O(cell
+side) and float32 keeps ~7 digits of it.  ``mean`` is reconstructed as
+``centre + centred_mean`` at build time.
+
+The lazy-build dirty flag of the reference (rebuild inside the cost function,
+`core.cpp:27-28`, racy under OpenMP) becomes an explicit functional phase:
+callers run :func:`build` before solving.  Same math, deterministic order.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ndtpso_slam_tpu.config import MapConfig
+from ndtpso_slam_tpu.ops import gaussian
+from ndtpso_slam_tpu.ops.geometry import cell_index, transform_points
+
+
+class MapSnapshot(struct.PyTreeNode):
+    """What a scan-match solve consumes: built per-cell Gaussians."""
+
+    mean: jnp.ndarray  # [C, 2] world-frame cell means
+    inv_cov: jnp.ndarray  # [C, 3] packed symmetric inverse covariances
+    built: jnp.ndarray  # [C] bool
+
+
+class NdtMapState(struct.PyTreeNode):
+    """Full accumulator state of the sliding-window NDT map (one map).
+
+    All first/second moments are centred on the owning cell's centre.
+    """
+
+    # Derived Gaussians (persist between builds: a cell whose window count
+    # drops back to <=2 keeps its stale Gaussian exactly like the C++ keeps
+    # `mean`/`s_inv_covar` untouched when the count>2 branch is skipped).
+    mean_c: jnp.ndarray  # [C, 2] centred means
+    inv_cov: jnp.ndarray  # [C, 3]
+    built: jnp.ndarray  # [C] bool
+    created: jnp.ndarray  # [C] bool
+    # Window-global accumulators (`s_global_*`, ndtcell.h:65-67)
+    g_sum: jnp.ndarray  # [C, 2]
+    g_count: jnp.ndarray  # [C] int32
+    g_cov: jnp.ndarray  # [C, 3]
+    # Ring buffer of per-slot partials (`s_partial_*`)
+    slot_sum: jnp.ndarray  # [C, S, 2]
+    slot_count: jnp.ndarray  # [C, S] int32
+    slot_cov: jnp.ndarray  # [C, S, 3]
+    slot_idx: jnp.ndarray  # [C] int32 current window slot
+    # Current (open) slot accumulators (`s_current_*` + second moment)
+    cur_sum: jnp.ndarray  # [C, 2]
+    cur_count: jnp.ndarray  # [C] int32
+    cur_m2: jnp.ndarray  # [C, 3]
+
+
+def init_map(cfg: MapConfig, dtype=jnp.float32) -> NdtMapState:
+    """Fresh all-zero map (NDTFrame ctor, `ndtframe.cpp:19-66`)."""
+    c = cfg.num_cells
+    s = cfg.window_slots
+    f = lambda *shape: jnp.zeros(shape, dtype)
+    return NdtMapState(
+        mean_c=f(c, 2),
+        inv_cov=f(c, 3),
+        built=jnp.zeros((c,), bool),
+        created=jnp.zeros((c,), bool),
+        g_sum=f(c, 2),
+        g_count=jnp.zeros((c,), jnp.int32),
+        g_cov=f(c, 3),
+        slot_sum=f(c, s, 2),
+        slot_count=jnp.zeros((c, s), jnp.int32),
+        slot_cov=f(c, s, 3),
+        slot_idx=jnp.zeros((c,), jnp.int32),
+        cur_sum=f(c, 2),
+        cur_count=jnp.zeros((c,), jnp.int32),
+        cur_m2=f(c, 3),
+    )
+
+
+def cell_centers(cfg: MapConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """World coordinates of each cell's centre, [C, 2]."""
+    w = cfg.cells_per_side
+    i = jnp.arange(cfg.num_cells, dtype=jnp.int32)
+    ix = (i % w).astype(dtype)
+    iy = (i // w).astype(dtype)
+    half = jnp.asarray(cfg.half_size_m, dtype)
+    side = jnp.asarray(cfg.cell_side_m, dtype)
+    return jnp.stack([(ix + 0.5) * side - half, (iy + 0.5) * side - half], axis=-1)
+
+
+def add_points(
+    state: NdtMapState, cfg: MapConfig, points: jnp.ndarray, valid: jnp.ndarray
+) -> NdtMapState:
+    """Scatter a batch of world-frame points into their cells.
+
+    Replicates `NDTFrame::addPoint` -> `NDTCell::addPoint`
+    (`ndtframe.cpp:215-225`, `ndtcell.cpp:21-34`): out-of-frame points are
+    dropped, touched cells are marked created and un-built.
+
+    points: [N, 2]; valid: [N] bool.
+    """
+    idx, inb = cell_index(
+        points,
+        size_m=cfg.size_m,
+        cell_side_m=cfg.cell_side_m,
+        cells_per_side=cfg.cells_per_side,
+    )
+    mask = valid & inb
+    # Out-of-range sentinel + mode='drop' => masked scatter.
+    sidx = jnp.where(mask, idx, cfg.num_cells)
+    dtype = state.cur_sum.dtype
+    centred = (points - cell_centers(cfg, dtype)[idx]).astype(dtype)
+    px, py = centred[..., 0], centred[..., 1]
+    m2 = jnp.stack([px * px, px * py, py * py], axis=-1)
+    one = mask.astype(jnp.int32)
+    return state.replace(
+        cur_sum=state.cur_sum.at[sidx].add(
+            jnp.where(mask[..., None], centred, 0), mode="drop"
+        ),
+        cur_count=state.cur_count.at[sidx].add(one, mode="drop"),
+        cur_m2=state.cur_m2.at[sidx].add(jnp.where(mask[..., None], m2, 0), mode="drop"),
+        created=state.created.at[sidx].set(True, mode="drop"),
+        built=state.built.at[sidx].set(False, mode="drop"),
+    )
+
+
+def update(
+    state: NdtMapState, cfg: MapConfig, pose: jnp.ndarray, points: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> NdtMapState:
+    """Transform a scan by ``pose`` and ingest it (`NDTFrame::update`,
+    `ndtframe.cpp:187-198`)."""
+    return add_points(state, cfg, transform_points(points, pose), valid)
+
+
+def _take_slot(arr: jnp.ndarray, slot_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell gather of the current window slot: [C,S,...] -> [C,...]."""
+    return arr[jnp.arange(arr.shape[0]), slot_idx]
+
+
+def _put_slot(arr: jnp.ndarray, slot_idx: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
+    """Per-cell scatter into the current window slot."""
+    return arr.at[jnp.arange(arr.shape[0]), slot_idx].set(val)
+
+
+def build(state: NdtMapState, cfg: MapConfig) -> NdtMapState:
+    """Dense sliding-window build of every cell (`NDTCell::build`,
+    `ndtcell.cpp:36-68`, driven by `NDTFrame::build`, `ndtframe.cpp:68-117`).
+
+    Per cell, in reference order:
+      1. WINDOW_ADD of the open slot's sum/count into the window globals;
+      2. if the window count exceeds 2: recompute the mean, recompute the open
+         slot's covariance contribution around the *new* mean, WINDOW_ADD it,
+         refresh the regularized inverse covariance, mark built;
+      3. if the open slot's count exceeds the slot capacity: rotate the ring
+         (advance slot index mod S, zero the open accumulators).
+    All branches are masks; the whole thing is one fused elementwise pass.
+    """
+    dtype = state.cur_sum.dtype
+    # --- 1. WINDOW_ADD sums/counts (ndtcell.cpp:38-41, macro ndtcell.h:13-15)
+    old_sum = _take_slot(state.slot_sum, state.slot_idx)
+    old_count = _take_slot(state.slot_count, state.slot_idx)
+    g_sum = state.g_sum + state.cur_sum - old_sum
+    g_count = state.g_count + state.cur_count - old_count
+    slot_sum = _put_slot(state.slot_sum, state.slot_idx, state.cur_sum)
+    slot_count = _put_slot(state.slot_count, state.slot_idx, state.cur_count)
+
+    # --- 2. Gaussian refresh where count > 2 (ndtcell.cpp:43-59)
+    has_stats = g_count > 2
+    n_w = jnp.maximum(g_count, 1).astype(dtype)  # safe denominator
+    mean_c_new = g_sum / n_w[:, None]
+    # Covariance contribution of the open slot around the new mean, from the
+    # slot's running moments (replaces the raw-point loop, ndtcell.cpp:49-52).
+    n_cur = state.cur_count.astype(dtype)
+    sx, sy = state.cur_sum[:, 0], state.cur_sum[:, 1]
+    mx, my = mean_c_new[:, 0], mean_c_new[:, 1]
+    cov_cur = jnp.stack(
+        [
+            state.cur_m2[:, 0] - 2.0 * mx * sx + n_cur * mx * mx,
+            state.cur_m2[:, 1] - mx * sy - my * sx + n_cur * mx * my,
+            state.cur_m2[:, 2] - 2.0 * my * sy + n_cur * my * my,
+        ],
+        axis=-1,
+    )
+    old_cov = _take_slot(state.slot_cov, state.slot_idx)
+    g_cov_new = state.g_cov + cov_cur - old_cov
+    # The covariance WINDOW_ADD only happens inside the count>2 branch
+    # (ndtcell.cpp:43-55): mask both the global and the slot write.
+    g_cov = jnp.where(has_stats[:, None], g_cov_new, state.g_cov)
+    slot_cov = _put_slot(
+        state.slot_cov,
+        state.slot_idx,
+        jnp.where(has_stats[:, None], cov_cur, old_cov),
+    )
+    covar = g_cov_new / n_w[:, None]
+    inv_cov_new = gaussian.regularized_inverse(covar)
+    mean_c = jnp.where(has_stats[:, None], mean_c_new, state.mean_c)
+    inv_cov = jnp.where(has_stats[:, None], inv_cov_new, state.inv_cov)
+    built = state.built | has_stats
+
+    # --- 3. Ring rotation where the open slot is full (ndtcell.cpp:61-65)
+    rotate = state.cur_count > cfg.slot_capacity
+    slot_idx = jnp.where(
+        rotate, (state.slot_idx + 1) % cfg.window_slots, state.slot_idx
+    )
+    zero2 = jnp.zeros_like(state.cur_sum)
+    zero3 = jnp.zeros_like(state.cur_m2)
+    return state.replace(
+        mean_c=mean_c,
+        inv_cov=inv_cov,
+        built=built,
+        g_sum=g_sum,
+        g_count=g_count,
+        g_cov=g_cov,
+        slot_sum=slot_sum,
+        slot_count=slot_count,
+        slot_cov=slot_cov,
+        slot_idx=slot_idx,
+        cur_sum=jnp.where(rotate[:, None], zero2, state.cur_sum),
+        cur_count=jnp.where(rotate, 0, state.cur_count),
+        cur_m2=jnp.where(rotate[:, None], zero3, state.cur_m2),
+    )
+
+
+def snapshot(state: NdtMapState, cfg: MapConfig) -> MapSnapshot:
+    """World-frame Gaussians for solving (decouples the heavy window state
+    from what the hot loop reads)."""
+    centers = cell_centers(cfg, state.mean_c.dtype)
+    return MapSnapshot(
+        mean=centers + state.mean_c, inv_cov=state.inv_cov, built=state.built
+    )
+
+
+def reset(state: NdtMapState) -> NdtMapState:
+    """Full zero reset.
+
+    The reference's `NDTCell::reset` (`ndtcell.cpp:80-91`) zeroes the window
+    but leaves `built`/`created` and the stale Gaussian in place — an API that
+    is never exercised by the node (`ndtpso_slam_node.cpp:227-230` reallocates
+    instead).  We diverge deliberately: reset means a fresh map.
+    """
+    return jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state)

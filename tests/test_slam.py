@@ -1,0 +1,92 @@
+"""End-to-end sequential SLAM on a synthetic world with exact ground truth.
+
+Replaces the reference's manual rosbag+RViz validation (SURVEY.md §4) with a
+raycast world: the engine must track the true trajectory within tight bounds.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ndtpso_slam_tpu import config as cfgm
+from ndtpso_slam_tpu.io import synthetic
+from ndtpso_slam_tpu.models import scan as scan_mod
+from ndtpso_slam_tpu.models import slam
+
+KEY = (np.uint32(5), np.uint32(77))
+
+
+def _small_cfg(cost_mode="exact"):
+    return cfgm.SlamConfig(
+        pso=cfgm.PSOConfig(iterations=30, population=50),
+        map=cfgm.MapConfig(size_m=48.0, cell_side_m=1.0, window_slots=8, slot_capacity=50),
+        scan=cfgm.ScanConfig(max_beams=360),
+        og=cfgm.OccupancyGridConfig(enabled=False),
+        cost_mode=cost_mode,
+    )
+
+
+def _load_scans(log, cfg):
+    scans = [
+        scan_mod.load_laser(
+            r, log.angle_min, log.angle_increment, log.range_max, cfg.scan, cfg.map
+        )
+        for r in log.ranges
+    ]
+    return scan_mod.Scan(
+        points=jnp.stack([s.points for s in scans]),
+        valid=jnp.stack([s.valid for s in scans]),
+    )
+
+
+def _traj_errors(poses, gt):
+    poses = np.asarray(poses, np.float64)
+    dt = np.hypot(poses[:, 0] - gt[:, 0], poses[:, 1] - gt[:, 1])
+    da = np.abs(np.arctan2(np.sin(poses[:, 2] - gt[:, 2]), np.cos(poses[:, 2] - gt[:, 2])))
+    return dt, da
+
+
+@pytest.mark.parametrize("cost_mode", ["exact", "fast"])
+def test_slam_tracks_synthetic_trajectory(cost_mode):
+    cfg = _small_cfg(cost_mode)
+    log = synthetic.make_log(seed=3, n_scans=25, n_beams=360, world_size=40.0, dt=0.1)
+    scans = _load_scans(log, cfg)
+    state = slam.init_slam(cfg, initial_pose=tuple(log.poses[0]))
+    state, poses, costs = slam.run_offline(state, scans, KEY, cfg)
+    dt, da = _traj_errors(poses, log.poses)
+    assert dt.max() < 0.15, f"translation error too large: {dt.max():.3f} m"
+    assert da.max() < 0.05, f"rotation error too large: {da.max():.4f} rad"
+    # Map was actually built and costs are meaningfully negative after step 0.
+    assert bool(np.asarray(state.map.built).any())
+    assert float(np.asarray(costs)[-1]) < -50.0
+
+
+def test_slam_step_streaming_matches_offline():
+    cfg = _small_cfg("exact")
+    log = synthetic.make_log(seed=4, n_scans=6, n_beams=360, world_size=40.0)
+    scans = _load_scans(log, cfg)
+    state = slam.init_slam(cfg, initial_pose=tuple(log.poses[0]))
+    _, poses_off, _ = slam.run_offline(state, scans, KEY, cfg)
+
+    from ndtpso_slam_tpu.ops import rng
+
+    state2 = slam.init_slam(cfg, initial_pose=tuple(log.poses[0]))
+    poses_st = []
+    for i in range(6):
+        key = rng.threefry2x32(KEY, np.uint32(i), np.uint32(0))
+        sc = scan_mod.Scan(points=scans.points[i], valid=scans.valid[i])
+        state2, pose, _ = slam.slam_step(state2, sc, key, cfg)
+        poses_st.append(np.asarray(pose))
+    np.testing.assert_allclose(
+        np.asarray(poses_off), np.stack(poses_st), rtol=0, atol=1e-6
+    )
+
+
+def test_first_scan_keeps_prior_pose():
+    cfg = _small_cfg("exact")
+    log = synthetic.make_log(seed=5, n_scans=2, n_beams=360, world_size=40.0)
+    scans = _load_scans(log, cfg)
+    init = tuple(log.poses[0])
+    state = slam.init_slam(cfg, initial_pose=init)
+    _, poses, _ = slam.run_offline(state, scans, KEY, cfg)
+    np.testing.assert_allclose(np.asarray(poses)[0], np.asarray(init), atol=1e-7)
