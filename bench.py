@@ -1,0 +1,158 @@
+"""Headline benchmark: batched scan-match solves/s per chip.
+
+Workload = BASELINE.json metric: independent SE(2) scan-match solves at 4096
+particles x 50 PSO iterations (fast MXU cost), each solve a 360-beam scan
+registered against its own prebuilt NDT map with a known ground-truth offset.
+North star: 10,000 solves/s on a v5e-16 => 625 solves/s/chip; vs_baseline is
+measured solves/s/chip divided by that share.
+
+Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--particles", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--beams", type=int, default=360)
+    ap.add_argument("--pad-beams", type=int, default=384)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--mode", default="fast", choices=["fast", "exact"])
+    ap.add_argument("--cells", type=float, default=1.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpso_slam_tpu import config as cfgm
+    from ndtpso_slam_tpu.io import synthetic
+    from ndtpso_slam_tpu.models import ndt_map, scan as scan_mod
+    from ndtpso_slam_tpu.models.ndt_map import MapSnapshot
+    from ndtpso_slam_tpu.parallel import mesh as mesh_mod
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=args.cells, window_slots=4)
+    pso_cfg = cfgm.PSOConfig(iterations=args.iters, population=args.particles)
+    scan_cfg = cfgm.ScanConfig(max_beams=args.pad_beams)
+
+    # --- data: B worlds, a reference scan (map) + an offset query scan each.
+    # Setup runs on the CPU backend: under the axon tunnel every tiny jit op
+    # would otherwise pay tens of seconds of remote compile.
+    rs = np.random.RandomState(0)
+    b = args.batch
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    setup_ctx = jax.default_device(cpu)
+    setup_ctx.__enter__()
+    segs = synthetic.make_world(seed=1, size=50.0, n_boxes=8)
+    ref_pose = np.zeros(3)
+    true_offsets = np.stack(
+        [
+            rs.uniform(-0.3, 0.3, b),
+            rs.uniform(-0.3, 0.3, b),
+            rs.uniform(-0.05, 0.05, b),
+        ],
+        -1,
+    )
+    ref_ranges = synthetic.raycast(
+        segs, ref_pose, args.beams, -np.pi, 2 * np.pi / args.beams, 30.0
+    )
+    ref_scan = scan_mod.load_laser(
+        ref_ranges.astype(np.float32), -np.pi, 2 * np.pi / args.beams, 30.0,
+        scan_cfg, map_cfg,
+    )
+    # Per-solve maps: each built from 3 jittered re-observations of the ref
+    # scan so cells have count > 2 and real covariances.
+    state = ndt_map.init_map(map_cfg)
+    for k in range(3):
+        jit_pts = np.asarray(ref_scan.points) + rs.normal(0, 0.03, (args.pad_beams, 2))
+        state = ndt_map.add_points(
+            state, map_cfg, jit_pts.astype(np.float32), np.asarray(ref_scan.valid)
+        )
+        state = ndt_map.build(state, map_cfg)
+    snap1 = ndt_map.snapshot(state, map_cfg)
+    snaps = MapSnapshot(
+        mean=jnp.tile(snap1.mean[None], (b, 1, 1)),
+        inv_cov=jnp.tile(snap1.inv_cov[None], (b, 1, 1)),
+        built=jnp.tile(snap1.built[None], (b, 1)),
+    )
+    # Query scans: the same world viewed from true_offsets[i].
+    q_pts = np.zeros((b, args.pad_beams, 2), np.float32)
+    q_valid = np.zeros((b, args.pad_beams), bool)
+    for i in range(b):
+        r = synthetic.raycast(
+            segs, true_offsets[i], args.beams, -np.pi, 2 * np.pi / args.beams, 30.0
+        )
+        s = scan_mod.load_laser(
+            r.astype(np.float32), -np.pi, 2 * np.pi / args.beams, 30.0,
+            scan_cfg, map_cfg,
+        )
+        q_pts[i] = np.asarray(s.points)
+        q_valid[i] = np.asarray(s.valid)
+    keys = rs.randint(0, 2**31, (b, 2)).astype(np.uint32)
+    guesses = np.zeros((b, 3), np.float32)
+    deviations = np.tile(np.float32([0.5, 0.5, 0.1]), (b, 1))
+    setup_ctx.__exit__(None, None, None)
+    snaps, q_pts, q_valid, keys, guesses, deviations = jax.device_put(
+        (snaps, q_pts, q_valid, keys, guesses, deviations), dev
+    )
+    log(f"setup {time.time()-t0:.1f}s; B={b} P={args.particles} I={args.iters} "
+        f"N={args.pad_beams} cells={snap1.mean.shape[0]}")
+
+    run = lambda: mesh_mod.solve_batch(
+        keys, guesses, deviations, snaps, q_pts, q_valid,
+        map_cfg, pso_cfg, cost_mode=args.mode,
+    )
+
+    t0 = time.time()
+    res = run()
+    jax.block_until_ready(res)
+    log(f"compile+first run {time.time()-t0:.1f}s")
+
+    err = np.abs(np.asarray(res.pose) - true_offsets)
+    log(f"pose err vs truth: median xy {np.median(err[:, :2]):.4f} m, "
+        f"median th {np.median(err[:, 2]):.5f} rad, max xy {err[:, :2].max():.4f}")
+
+    times = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        jax.block_until_ready(run())
+        times.append(time.time() - t0)
+    best = min(times)
+    solves_per_s = b / best
+    log(f"times {['%.4f' % t for t in times]} -> {solves_per_s:.1f} solves/s/chip")
+
+    baseline_share = 625.0  # 10k/s north star / 16 chips
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"scan_match_solves_per_s_per_chip_"
+                    f"{args.particles}p_{args.iters}i_{args.mode}"
+                ),
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / baseline_share, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -149,5 +149,9 @@ def bound_cost(poses: jnp.ndarray, bound: BoundScan) -> jnp.ndarray:
         axis=-1,
     )  # [P, 5]
     z = jnp.dot(_phi(u), bound.w.T, preferred_element_type=poses.dtype)  # [P, N]
-    score = jnp.exp(-0.5 * z)
+    # Clamp at 0: regularized inverses of near-degenerate cells can carry a
+    # numerically negative eigenvalue; harmless in the exact cost (the point
+    # is inside its cell, |z| tiny) but explosive when a far-flung particle
+    # extrapolates the frozen quadratic.  Scores stay in (0, 1].
+    score = jnp.exp(-0.5 * jnp.maximum(z, 0.0))
     return -jnp.dot(score, bound.mask, preferred_element_type=poses.dtype)

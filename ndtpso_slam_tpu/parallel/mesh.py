@@ -1,0 +1,126 @@
+"""Device-mesh scaling of scan-match solves.
+
+The reference's only cross-instance parallelism is deployment-level: one ROS
+node per LiDAR, zero shared state (`launch/lidar_front.launch`,
+`launch/lidar_back.launch`; SURVEY.md §2).  Here the same capability is a
+sharded batch axis: B independent solves (scan pairs, robots, relocalization
+hypotheses) are vmapped on-chip and sharded across a `jax.sharding.Mesh`
+with `shard_map` — data parallelism over ICI instead of ROS TCP.
+
+Everything is pure SPMD: no collectives are needed for independent solves;
+multi-swarm exchange and map merges (the collective cases) live in
+`multi_swarm.py` and `distributed.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ndtpso_slam_tpu.config import MapConfig, PSOConfig
+from ndtpso_slam_tpu.models import cost as cost_mod
+from ndtpso_slam_tpu.models.ndt_map import MapSnapshot
+from ndtpso_slam_tpu.models.pso import pso_solve
+
+SOLVE_AXIS = "solves"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = SOLVE_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cost_mode):
+    if cost_mode == "fast":
+        cost_fn = lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points(bind, snap, points, valid, map_cfg)
+        )
+    else:
+        cost_fn = lambda poses, bind: cost_mod.ndt_cost(
+            poses, snap, points, valid, map_cfg
+        )
+    return pso_solve((key[0], key[1]), guess, deviation, cost_fn, pso_cfg)
+
+
+@partial(jax.jit, static_argnames=("map_cfg", "pso_cfg", "cost_mode"))
+def solve_batch(
+    keys: jnp.ndarray,  # [B, 2] uint32
+    guesses: jnp.ndarray,  # [B, 3]
+    deviations: jnp.ndarray,  # [B, 3]
+    snaps: MapSnapshot,  # stacked [B, C, ...]
+    points: jnp.ndarray,  # [B, N, 2]
+    valid: jnp.ndarray,  # [B, N]
+    map_cfg: MapConfig,
+    pso_cfg: PSOConfig,
+    cost_mode: str = "fast",
+):
+    """B independent scan-match solves, vmapped (BASELINE config 2)."""
+    return jax.vmap(
+        lambda k, g, d, s, p, v: _solve_one(
+            k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode
+        )
+    )(keys, guesses, deviations, snaps, points, valid)
+
+
+def solve_batch_sharded(
+    mesh: Mesh,
+    keys,
+    guesses,
+    deviations,
+    snaps: MapSnapshot,
+    points,
+    valid,
+    map_cfg: MapConfig,
+    pso_cfg: PSOConfig,
+    cost_mode: str = "fast",
+    shared_map: bool = False,
+):
+    """Shard the solve batch over the mesh's solve axis.
+
+    With ``shared_map=True`` all solves read one replicated map snapshot
+    (multi-robot against a common map); otherwise each solve carries its own
+    stacked snapshot, sharded with the batch.
+    """
+    snap_spec = (
+        MapSnapshot(mean=P(), inv_cov=P(), built=P())
+        if shared_map
+        else MapSnapshot(
+            mean=P(SOLVE_AXIS), inv_cov=P(SOLVE_AXIS), built=P(SOLVE_AXIS)
+        )
+    )
+
+    def local(keys, guesses, deviations, snaps, points, valid):
+        fn = jax.vmap(
+            lambda k, g, d, p, v: _solve_one(
+                k, g, d, snaps, p, v, map_cfg, pso_cfg, cost_mode
+            )
+        ) if shared_map else jax.vmap(
+            lambda k, g, d, s, p, v: _solve_one(
+                k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode
+            )
+        )
+        if shared_map:
+            return fn(keys, guesses, deviations, points, valid)
+        return fn(keys, guesses, deviations, snaps, points, valid)
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(SOLVE_AXIS),
+            P(SOLVE_AXIS),
+            P(SOLVE_AXIS),
+            snap_spec,
+            P(SOLVE_AXIS),
+            P(SOLVE_AXIS),
+        ),
+        out_specs=P(SOLVE_AXIS),
+    )
+    return jax.jit(shmapped)(keys, guesses, deviations, snaps, points, valid)

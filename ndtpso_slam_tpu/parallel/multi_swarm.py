@@ -1,0 +1,138 @@
+"""Multi-swarm PSO with cross-swarm (and cross-device) global-best exchange.
+
+The reference's only "collective" is the `omp critical` global-best merge
+inside one swarm (`core.cpp:97-104`).  The TPU-native generalization
+(BASELINE config 4: 16 swarms x 4096 particles for relocalization against a
+global map) runs K swarms with a leading vmap axis and periodically merges
+their global bests: an argmin over the swarm axis locally, plus an
+`all_gather` over the mesh axis when swarms are sharded across devices —
+the ICI replacement for both the OMP reduction and ROS pub/sub.
+
+Between exchanges each swarm explores independently around its own best
+(island-model PSO); ``exchange_every=1`` makes all swarms chase one best,
+``exchange_every>=iterations`` makes them fully independent with a single
+final merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ndtpso_slam_tpu.config import PSOConfig, ZERO_DEVIATION
+from ndtpso_slam_tpu.models.pso import CostFn, PsoResult
+from ndtpso_slam_tpu.ops import rng
+
+
+def _global_merge(gbest, gbest_cost, axis_name):
+    """Best (pose, cost) across the swarm axis [K] and optionally a mesh
+    axis. Returns broadcastable [3], []."""
+    bi = jnp.argmin(gbest_cost)
+    best_pose, best_cost = gbest[bi], gbest_cost[bi]
+    if axis_name is not None:
+        all_costs = jax.lax.all_gather(best_cost, axis_name)  # [D]
+        all_poses = jax.lax.all_gather(best_pose, axis_name)  # [D, 3]
+        di = jnp.argmin(all_costs)
+        best_pose, best_cost = all_poses[di], all_costs[di]
+    return best_pose, best_cost
+
+
+def multi_swarm_solve(
+    keys: jnp.ndarray,  # [K, 2] uint32, one key per swarm
+    guesses: jnp.ndarray,  # [K, 3] per-swarm initial guesses (hypotheses)
+    deviation: jnp.ndarray,  # [3] shared search radius
+    cost_fn: CostFn,
+    cfg: PSOConfig,
+    exchange_every: int = 1,
+    axis_name: Optional[str] = None,
+) -> PsoResult:
+    """K-swarm PSO against one shared cost (map). Returns the single best.
+
+    Inside `shard_map`, pass ``axis_name`` to merge across devices too.
+    """
+    dtype = guesses.dtype
+    k, p = guesses.shape[0], cfg.population
+    zero_dev = jnp.asarray(ZERO_DEVIATION, dtype)
+    deviation = jnp.asarray(deviation, dtype)
+
+    g_ctr, p_ctr = rng.pso_init_pairs(p)
+    u_g = jax.vmap(lambda key: rng.uniform_pairs((key[0], key[1]), g_ctr, dtype)[0])(keys)
+    g_pos = guesses + (2.0 * u_g - 1.0) * zero_dev  # [K, 3]
+    u_p = jax.vmap(lambda key: rng.uniform_pairs((key[0], key[1]), p_ctr, dtype)[0])(keys)
+    pos = guesses[:, None, :] + (2.0 * u_p - 1.0) * deviation  # [K, P, 3]
+
+    flat_cost = lambda poses, bind: cost_fn(poses.reshape(-1, 3), bind).reshape(
+        poses.shape[:-1]
+    )
+    g_cost = flat_cost(g_pos, guesses[0])  # [K]
+    cost = flat_cost(pos, guesses[0])  # [K, P]
+    bi = jnp.argmin(cost, axis=1)
+    binit = jnp.take_along_axis(cost, bi[:, None], axis=1)[:, 0]
+    improved = binit < g_cost
+    gbest = jnp.where(
+        improved[:, None], jnp.take_along_axis(pos, bi[:, None, None], axis=1)[:, 0], g_pos
+    )
+    gbest_cost = jnp.where(improved, binit, g_cost)
+
+    c1 = jnp.asarray(cfg.c1, dtype)
+    c2 = jnp.asarray(cfg.c2, dtype)
+
+    def body(i, carry):
+        pos, vel, pbest, pbest_cost, gbest, gbest_cost, w = carry
+        r = jax.vmap(
+            lambda key: rng.uniform_pairs((key[0], key[1]), rng.pso_iter_pairs(i, p), dtype)
+        )(keys)
+        r1, r2 = r  # [K, P, 3] each
+        vel = (
+            w * vel
+            + c1 * r1 * (pbest - pos)
+            + c2 * r2 * (gbest[:, None, :] - pos)
+        )
+        pos = pos + vel
+        # Bind at the currently best swarm's best (frozen-correspondence
+        # costs re-linearize around the incumbent).
+        bind_pose, _ = _global_merge(gbest, gbest_cost, None)
+        cost = flat_cost(pos, bind_pose)
+        better = cost < pbest_cost
+        pbest = jnp.where(better[..., None], pos, pbest)
+        pbest_cost = jnp.where(better, cost, pbest_cost)
+        bi = jnp.argmin(pbest_cost, axis=1)
+        bc = jnp.take_along_axis(pbest_cost, bi[:, None], axis=1)[:, 0]
+        bp = jnp.take_along_axis(pbest, bi[:, None, None], axis=1)[:, 0]
+        gimp = bc < gbest_cost
+        gbest = jnp.where(gimp[:, None], bp, gbest)
+        gbest_cost = jnp.where(gimp, bc, gbest_cost)
+
+        def exchange(args):
+            gbest, gbest_cost = args
+            best_pose, best_cost = _global_merge(gbest, gbest_cost, axis_name)
+            # Every swarm adopts the global best as its own gbest (island
+            # merge); pbest memories stay local for diversity.
+            return (
+                jnp.broadcast_to(best_pose, gbest.shape),
+                jnp.broadcast_to(best_cost, gbest_cost.shape),
+            )
+
+        gbest, gbest_cost = jax.lax.cond(
+            (i + 1) % exchange_every == 0,
+            exchange,
+            lambda args: args,
+            (gbest, gbest_cost),
+        )
+        w = w * jnp.asarray(cfg.w_damping, dtype)
+        return pos, vel, pbest, pbest_cost, gbest, gbest_cost, w
+
+    init = (
+        pos,
+        jnp.zeros_like(pos),
+        pos,
+        cost,
+        gbest,
+        gbest_cost,
+        jnp.asarray(cfg.w, dtype),
+    )
+    *_, gbest, gbest_cost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
+    best_pose, best_cost = _global_merge(gbest, gbest_cost, axis_name)
+    return PsoResult(pose=best_pose, cost=best_cost)

@@ -1,0 +1,158 @@
+"""Multi-device sharding: sharded solves == local vmap, swarm exchange,
+psum map merges — on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ndtpso_slam_tpu import config as cfgm
+from ndtpso_slam_tpu.models import cost as cost_mod, ndt_map
+from ndtpso_slam_tpu.parallel import distributed, mesh as mesh_mod
+from ndtpso_slam_tpu.parallel.multi_swarm import multi_swarm_solve
+
+MAP_CFG = cfgm.MapConfig(size_m=32.0, cell_side_m=1.0, window_slots=4)
+PSO_CFG = cfgm.PSOConfig(iterations=12, population=64)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rs = np.random.RandomState(0)
+    t = np.linspace(0, 2 * np.pi, 200, endpoint=False)
+    pts = np.stack([9 * np.cos(t), 6 * np.sin(t)], -1) + rs.normal(0, 0.05, (200, 2))
+    pts = pts.astype(np.float32)
+    state = ndt_map.init_map(MAP_CFG)
+    for _ in range(2):
+        state = ndt_map.add_points(
+            state, MAP_CFG, pts + rs.normal(0, 0.02, pts.shape).astype(np.float32),
+            np.ones(200, bool),
+        )
+        state = ndt_map.build(state, MAP_CFG)
+    return state, ndt_map.snapshot(state, MAP_CFG), pts
+
+
+def _batch(world, b=16):
+    _, snap, pts = world
+    rs = np.random.RandomState(1)
+    keys = rs.randint(0, 2**31, (b, 2)).astype(np.uint32)
+    guesses = np.zeros((b, 3), np.float32)
+    devs = np.tile(np.float32([0.2, 0.2, 0.05]), (b, 1))
+    points = np.tile(pts[None], (b, 1, 1))
+    valid = np.ones((b, pts.shape[0]), bool)
+    snaps = jax.tree_util.tree_map(lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim), snap)
+    return keys, guesses, devs, snaps, points, valid
+
+
+def test_sharded_solves_match_vmap(world):
+    keys, guesses, devs, snaps, points, valid = _batch(world)
+    local = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, PSO_CFG, "fast"
+    )
+    mesh = mesh_mod.make_mesh(8)
+    sharded = mesh_mod.solve_batch_sharded(
+        mesh, keys, guesses, devs, snaps, points, valid, MAP_CFG, PSO_CFG, "fast"
+    )
+    np.testing.assert_allclose(
+        np.asarray(local.pose), np.asarray(sharded.pose), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(local.cost), np.asarray(sharded.cost), rtol=1e-5
+    )
+
+
+def test_sharded_shared_map(world):
+    keys, guesses, devs, snaps, points, valid = _batch(world)
+    _, snap, _ = world
+    mesh = mesh_mod.make_mesh(8)
+    res = mesh_mod.solve_batch_sharded(
+        mesh, keys, guesses, devs, snap, points, valid, MAP_CFG, PSO_CFG,
+        "fast", shared_map=True,
+    )
+    local = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, PSO_CFG, "fast"
+    )
+    np.testing.assert_allclose(np.asarray(res.pose), np.asarray(local.pose), atol=1e-5)
+
+
+def test_multi_swarm_beats_or_matches_single(world):
+    _, snap, pts = world
+    valid = np.ones(pts.shape[0], bool)
+    cost_fn = lambda poses, bind: cost_mod.ndt_cost(poses, snap, pts, valid, MAP_CFG)
+    rs = np.random.RandomState(2)
+    keys = rs.randint(0, 2**31, (4, 2)).astype(np.uint32)
+    guesses = rs.uniform(-0.2, 0.2, (4, 3)).astype(np.float32)
+    res = multi_swarm_solve(
+        keys, guesses, np.float32([0.2, 0.2, 0.05]), cost_fn, PSO_CFG,
+        exchange_every=3,
+    )
+    # The map was built at identity: the best pose should be near zero.
+    assert np.abs(np.asarray(res.pose)[:2]).max() < 0.1
+    assert float(res.cost) < -50.0
+
+
+def test_multi_swarm_sharded_exchange(world):
+    _, snap, pts = world
+    valid = np.ones(pts.shape[0], bool)
+    mesh = mesh_mod.make_mesh(8)
+    rs = np.random.RandomState(3)
+    keys = rs.randint(0, 2**31, (16, 2)).astype(np.uint32)
+    guesses = rs.uniform(-0.2, 0.2, (16, 3)).astype(np.float32)
+
+    def run(keys, guesses):
+        cost_fn = lambda poses, bind: cost_mod.ndt_cost(poses, snap, pts, valid, MAP_CFG)
+        res = multi_swarm_solve(
+            keys, guesses, jnp.float32([0.2, 0.2, 0.05]), cost_fn, PSO_CFG,
+            exchange_every=4, axis_name=mesh_mod.SOLVE_AXIS,
+        )
+        return res.pose, res.cost
+
+    pose, cost = jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(mesh_mod.SOLVE_AXIS), P(mesh_mod.SOLVE_AXIS)),
+            out_specs=(P(), P()), check_vma=False,
+        )
+    )(keys, guesses)
+    assert np.abs(np.asarray(pose)[:2]).max() < 0.1
+    assert np.isfinite(float(np.asarray(cost)))
+
+
+def test_distributed_map_merge_equals_serial(world):
+    state0, _, _ = world
+    rs = np.random.RandomState(4)
+    pts = rs.uniform(-8, 8, (64, 2)).astype(np.float32)
+    valid = np.ones(64, bool)
+    pose = np.zeros(3, np.float32)
+    # Serial: ingest all points on one device.
+    serial = ndt_map.update(state0, MAP_CFG, pose, pts, valid)
+    # Sharded: each of 8 devices ingests 8 points, then psum-merge.
+    mesh = mesh_mod.make_mesh(8)
+
+    def run(state, pts, valid):
+        return distributed.sharded_update(
+            state, MAP_CFG, pose, pts, valid, mesh_mod.SOLVE_AXIS
+        )
+
+    merged = jax.jit(
+        jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(P(), P(mesh_mod.SOLVE_AXIS), P(mesh_mod.SOLVE_AXIS)),
+            out_specs=P(), check_vma=False,
+        )
+    )(state0, pts, valid)
+    np.testing.assert_allclose(
+        np.asarray(serial.cur_sum), np.asarray(merged.cur_sum), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(serial.cur_count), np.asarray(merged.cur_count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(serial.created), np.asarray(merged.created)
+    )
+    # Builds from the merged state agree too.
+    bs = ndt_map.build(serial, MAP_CFG)
+    bm = ndt_map.build(merged, MAP_CFG)
+    np.testing.assert_allclose(
+        np.asarray(bs.mean_c), np.asarray(bm.mean_c), atol=1e-4
+    )
