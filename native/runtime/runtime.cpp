@@ -4,9 +4,8 @@
 // transport becomes a compact mmap-friendly binary scan-log format, and
 // `NDTFrame::dumpMap`'s CSV/gnuplot/PNG export path
 // (/root/reference/lib/ndtpso_slam/ndtframe.cpp:268-422, OpenCV-based)
-// becomes dependency-free writers (PNG is emitted with stored-deflate
-// blocks, no zlib needed).  Loaded from Python via ctypes
-// (ndtpso_slam_tpu/utils/native.py).
+// becomes lightweight writers (PNG via system zlib, with a stored-deflate
+// fallback).  Loaded from Python via ctypes (ndtpso_slam_tpu/utils/native.py).
 
 #include <cmath>
 #include <cstdint>
@@ -14,6 +13,8 @@
 #include <cstring>
 #include <string>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -30,14 +31,14 @@ void crc_init() {
   crc_ready = true;
 }
 
-uint32_t crc32(const uint8_t* buf, size_t len, uint32_t crc = 0xFFFFFFFFu) {
+uint32_t crc32_of(const uint8_t* buf, size_t len, uint32_t crc = 0xFFFFFFFFu) {
   if (!crc_ready) crc_init();
   for (size_t i = 0; i < len; ++i)
     crc = crc_table[(crc ^ buf[i]) & 0xFF] ^ (crc >> 8);
   return crc;
 }
 
-uint32_t adler32(const uint8_t* buf, size_t len) {
+uint32_t adler32_of(const uint8_t* buf, size_t len) {
   uint32_t a = 1, b = 0;
   for (size_t i = 0; i < len; ++i) {
     a = (a + buf[i]) % 65521;
@@ -61,16 +62,25 @@ void png_chunk(FILE* f, const char* type, const std::vector<uint8_t>& data) {
   std::memcpy(tbuf, type, 4);
   fwrite(tbuf, 1, 4, f);
   if (!data.empty()) fwrite(data.data(), 1, data.size(), f);
-  uint32_t crc = crc32(tbuf, 4);
-  crc = crc32(data.data(), data.size(), crc) ^ 0xFFFFFFFFu;
+  uint32_t crc = crc32_of(tbuf, 4);
+  crc = crc32_of(data.data(), data.size(), crc) ^ 0xFFFFFFFFu;
   std::vector<uint8_t> cbuf;
   put_be32(cbuf, crc);
   fwrite(cbuf.data(), 1, 4, f);
 }
 
-// Raw (filter-byte-prefixed) scanlines -> zlib stream of stored blocks.
-std::vector<uint8_t> deflate_stored(const std::vector<uint8_t>& raw) {
-  std::vector<uint8_t> z;
+// Raw (filter-byte-prefixed) scanlines -> zlib stream.  Real deflate via
+// system zlib; falls back to stored blocks if compression fails.
+std::vector<uint8_t> deflate_raw(const std::vector<uint8_t>& raw) {
+  uLongf bound = compressBound(static_cast<uLong>(raw.size()));
+  std::vector<uint8_t> z(bound);
+  if (compress2(z.data(), &bound, raw.data(), static_cast<uLong>(raw.size()),
+                6) == Z_OK) {
+    z.resize(bound);
+    return z;
+  }
+  // Fallback: stored blocks (always valid zlib).
+  z.clear();
   z.push_back(0x78);
   z.push_back(0x01);
   size_t off = 0;
@@ -85,7 +95,7 @@ std::vector<uint8_t> deflate_stored(const std::vector<uint8_t>& raw) {
     z.insert(z.end(), raw.begin() + off, raw.begin() + off + chunk);
     off += chunk;
   } while (off < raw.size());
-  uint32_t ad = adler32(raw.data(), raw.size());
+  uint32_t ad = adler32_of(raw.data(), raw.size());
   put_be32(z, ad);
   return z;
 }
@@ -112,7 +122,7 @@ int write_png(const char* path, const uint8_t* pixels, long w, long h,
     raw.insert(raw.end(), pixels + y * w * channels,
                pixels + (y + 1) * w * channels);
   }
-  png_chunk(f, "IDAT", deflate_stored(raw));
+  png_chunk(f, "IDAT", deflate_raw(raw));
   png_chunk(f, "IEND", {});
   fclose(f);
   return 0;

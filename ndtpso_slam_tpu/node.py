@@ -1,0 +1,312 @@
+"""The SLAM node: streaming session + CLI — the ROS-node capability, ROS-free.
+
+Re-designs `NDTPSONode` (`src/ndtpso_slam_node.cpp`, `src/main.cpp`) as a
+plain streaming session: scans come from a scan log (native ``.ndtlog`` or
+``.npz``) or any iterator, poses go to registered callbacks ("publishers"),
+rate metrics are logged like the reference's per-scan report
+(`ndtpso_slam_node.cpp:239`), and shutdown dumps the export bundle
+(`ndtpso_slam_node.cpp:154-174`).  The latched TF mount transform becomes an
+explicit ``mount_trans`` parameter applied at scan load
+(`TRANSFORM_POINTS_AT_LOAD`, `ndtframe.cpp:174-177`).
+
+Config mirrors the three-tier reference system: dataclass defaults
+(= compile-time defines), a JSON "launch" file (= launch/*.launch), CLI flags
+(= rosparam overrides).  The reference node's ``pso_c2``-into-``c1`` param
+bug (`ndtpso_slam_node.cpp:34`) is deliberately not replicated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ndtpso_slam_tpu import config as cfgm
+from ndtpso_slam_tpu.models import scan as scan_mod
+from ndtpso_slam_tpu.models import slam
+from ndtpso_slam_tpu.ops import rng
+from ndtpso_slam_tpu.utils import export as export_mod
+from ndtpso_slam_tpu.utils import profiling
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeConfig:
+    """Node-level parameters (`ndtpso_slam_node.hpp:24-34`, scan.launch)."""
+
+    frame_size_m: float = 300.0
+    cell_side_m: float = 0.5
+    map_size_m: float = 25.0  # export-only global map extent
+    rate_hz: int = 10
+    og_cell_size_m: float = 0.1
+    build_og: bool = False
+    init_pose: tuple = (0.0, 0.0, 0.0)
+    mount_trans: tuple = (0.0, 0.0, 0.0)  # latched base<-scan transform
+    pso_iterations: int = 30
+    pso_population: int = 50
+    pso_w: float = cfgm.PSO_W
+    pso_c1: float = cfgm.PSO_C1
+    pso_c2: float = cfgm.PSO_C2
+    pso_w_damping: float = cfgm.PSO_W_DAMPING
+    window_slots: int = cfgm.NDT_WINDOW_SIZE
+    max_beams: int = 1024
+    cost_mode: str = "fast"
+    seed: int = 42
+    save_every: int = 10  # SAVE_DATA_TO_FILE_EACH_NUM_ITERS
+    save_map_images: bool = False
+
+    def slam_config(self) -> cfgm.SlamConfig:
+        return cfgm.SlamConfig(
+            pso=cfgm.PSOConfig(
+                iterations=self.pso_iterations,
+                population=self.pso_population,
+                w=self.pso_w,
+                c1=self.pso_c1,
+                c2=self.pso_c2,
+                w_damping=self.pso_w_damping,
+            ),
+            map=cfgm.MapConfig(
+                size_m=self.frame_size_m,
+                cell_side_m=self.cell_side_m,
+                window_slots=self.window_slots,
+            ),
+            scan=cfgm.ScanConfig(max_beams=self.max_beams),
+            og=cfgm.OccupancyGridConfig(
+                cell_size_m=self.og_cell_size_m, enabled=self.build_og
+            ),
+            cost_mode=self.cost_mode,
+        )
+
+    @staticmethod
+    def from_json(path: str, **overrides) -> "NodeConfig":
+        with open(path) as f:
+            data = json.load(f)
+        data.update({k: v for k, v in overrides.items() if v is not None})
+        fields = {f.name for f in dataclasses.fields(NodeConfig)}
+        unknown = set(data) - fields
+        if unknown:
+            raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+        for key in ("init_pose", "mount_trans"):
+            if key in data:
+                data[key] = tuple(data[key])
+        return NodeConfig(**data)
+
+
+class SlamNode:
+    """Streaming SLAM session: feed scans, get poses."""
+
+    def __init__(self, node_cfg: NodeConfig, verbose: bool = True):
+        self.cfg = node_cfg
+        self.slam_cfg = node_cfg.slam_config()
+        self.state = slam.init_slam(self.slam_cfg, node_cfg.init_pose)
+        self.global_map = export_mod.GlobalMap(keep_every=node_cfg.save_every)
+        self.meter = profiling.RateMeter()
+        self.pose_callbacks: List[Callable] = []
+        self.verbose = verbose
+        self._key = (np.uint32(node_cfg.seed), np.uint32(node_cfg.seed ^ 0x9E3779B9))
+        self._mount = (
+            np.asarray(node_cfg.mount_trans, np.float32)
+            if any(abs(v) > 1e-9 for v in node_cfg.mount_trans)
+            else None
+        )
+        self._step = 0
+
+    def on_pose(self, callback: Callable) -> None:
+        """Register a pose 'publisher' (timestamp, pose[3]) -> None."""
+        self.pose_callbacks.append(callback)
+
+    def process_scan(
+        self,
+        ranges: np.ndarray,
+        angle_min: float,
+        angle_increment: float,
+        range_max: float,
+        timestamp: float = 0.0,
+        odom=None,
+    ) -> np.ndarray:
+        """One scan callback (`scan_matcher_`, `ndtpso_slam_node.cpp:177-244`).
+
+        Returns the estimated [3] pose.
+        """
+        with self.meter.tick():
+            sc = scan_mod.load_laser(
+                np.asarray(ranges, np.float32),
+                angle_min,
+                angle_increment,
+                range_max,
+                self.slam_cfg.scan,
+                self.slam_cfg.map,
+                mount=self._mount,
+            )
+            # Key derived from the *state's* step counter so a restored
+            # checkpoint resumes the exact same random stream.
+            key = rng.threefry2x32(
+                self._key, np.uint32(int(self.state.step)), np.uint32(0)
+            )
+            self.state, pose, _cost = slam.slam_step(
+                self.state, sc, key, self.slam_cfg
+            )
+            pose_np = np.asarray(pose, np.float64)
+            self.global_map.add_scan(
+                np.asarray(sc.points), np.asarray(sc.valid), pose_np
+            )
+            self.global_map.add_pose(timestamp, pose_np, odom)
+            self._step += 1
+        for cb in self.pose_callbacks:
+            cb(timestamp, pose_np)
+        if self.verbose and self._step > 1:
+            print(
+                f"[ndtpso] scan {self._step}: pose "
+                f"({pose_np[0]:.3f}, {pose_np[1]:.3f}, {pose_np[2]:.3f}) | "
+                f"avg rate {self.meter.average_rate_hz:.2f} Hz, "
+                f"matching rate {self.meter.matching_rate_hz:.2f} Hz",
+                file=sys.stderr,
+            )
+        return pose_np
+
+    def run_log(self, log) -> np.ndarray:
+        """Process a whole ScanLog; returns [T, 3] poses."""
+        poses = []
+        for i in range(len(log.ranges)):
+            odom = log.odoms[i] if log.odoms is not None else None
+            poses.append(
+                self.process_scan(
+                    log.ranges[i], log.angle_min, log.angle_increment,
+                    log.range_max, timestamp=float(log.timestamps[i]), odom=odom,
+                )
+            )
+        return np.array(poses)
+
+    def shutdown(self, basename: Optional[str] = None) -> List[str]:
+        """Export the map bundle (`ndtpso_slam_node.cpp:131-174`)."""
+        if basename is None:
+            basename = "ndtpso-" + time.strftime("%Y%m%d-%H%M%S")
+        og = None
+        og_bbox = None
+        if self.state.og is not None:
+            og = np.asarray(self.state.og.og)
+            og_bbox = (
+                int(self.state.og.min_x), int(self.state.og.max_x),
+                int(self.state.og.min_y), int(self.state.og.max_y),
+            )
+        return export_mod.dump_map(
+            basename,
+            global_map=self.global_map,
+            save_poses=True,
+            save_points=True,
+            save_image=self.cfg.save_map_images,
+            map_cfg=self.slam_cfg.map,
+            pso_cfg=self.slam_cfg.pso,
+            og=og,
+            og_bbox=og_bbox,
+            og_cfg=self.slam_cfg.og,
+            map_state=self.state.map,
+        )
+
+    def save_checkpoint(self, path: str) -> None:
+        from ndtpso_slam_tpu.utils import checkpoint
+
+        checkpoint.save(path, self.state)
+
+    def load_checkpoint(self, path: str) -> None:
+        from ndtpso_slam_tpu.utils import checkpoint
+
+        self.state = checkpoint.restore(path, self.state)
+
+
+def _load_log(path: str):
+    from ndtpso_slam_tpu.io.synthetic import ScanLog
+
+    if path.endswith(".npz"):
+        d = np.load(path)
+        return ScanLog(
+            ranges=d["ranges"], poses=d.get("poses"), odoms=d.get("odoms"),
+            timestamps=d["timestamps"], angle_min=float(d["angle_min"]),
+            angle_increment=float(d["angle_increment"]),
+            range_max=float(d["range_max"]),
+        )
+    from ndtpso_slam_tpu.utils import native
+
+    return native.scanlog_read(path)
+
+
+def main(argv=None):
+    # Honor JAX_PLATFORMS even when a sitecustomize pinned the platform
+    # programmatically (the axon TPU image does; see tests/conftest.py).
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+    ap = argparse.ArgumentParser(
+        description="ndtpso-tpu SLAM node: run SLAM over a recorded scan log"
+    )
+    ap.add_argument("--scanlog", required=True, help=".ndtlog or .npz scan log")
+    ap.add_argument("--config", help="launch JSON (see launch/)")
+    ap.add_argument("--out", default=None, help="export basename")
+    ap.add_argument("--checkpoint", help="save final SLAM state here (.npz)")
+    ap.add_argument("--resume", help="restore SLAM state before running")
+    ap.add_argument("--cost-mode", choices=["fast", "exact"], default=None)
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--population", type=int, default=None)
+    ap.add_argument("--frame-size", type=float, default=None)
+    ap.add_argument("--cell-side", type=float, default=None)
+    ap.add_argument("--og", action="store_true", help="build the occupancy grid")
+    ap.add_argument("--save-images", action="store_true")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    overrides = dict(
+        cost_mode=args.cost_mode,
+        pso_iterations=args.iterations,
+        pso_population=args.population,
+        frame_size_m=args.frame_size,
+        cell_side_m=args.cell_side,
+        seed=args.seed,
+    )
+    if args.og:
+        overrides["build_og"] = True
+    if args.save_images:
+        overrides["save_map_images"] = True
+    if args.config:
+        node_cfg = NodeConfig.from_json(args.config, **overrides)
+    else:
+        node_cfg = dataclasses.replace(
+            NodeConfig(), **{k: v for k, v in overrides.items() if v is not None}
+        )
+
+    log = _load_log(args.scanlog)
+    node = SlamNode(node_cfg, verbose=not args.quiet)
+    if args.resume:
+        node.load_checkpoint(args.resume)
+        print(f"[ndtpso] resumed from {args.resume}", file=sys.stderr)
+    t0 = time.time()
+    poses = node.run_log(log)
+    dt = time.time() - t0
+    print(
+        f"[ndtpso] processed {len(poses)} scans in {dt:.2f}s "
+        f"({len(poses) / dt:.2f} Hz)",
+        file=sys.stderr,
+    )
+    if args.checkpoint:
+        node.save_checkpoint(args.checkpoint)
+        print(f"[ndtpso] checkpoint -> {args.checkpoint}", file=sys.stderr)
+    files = node.shutdown(args.out)
+    for f in files:
+        print(f"[ndtpso] wrote {f}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,187 @@
+"""The SLAM node shell: streaming session, export bundle, checkpoint/resume,
+occupancy grid, CLI, helper tools."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ndtpso_slam_tpu.io import synthetic
+from ndtpso_slam_tpu.node import NodeConfig, SlamNode, _load_log
+from ndtpso_slam_tpu.utils import native
+
+SMALL = dict(
+    frame_size_m=48.0,
+    cell_side_m=1.0,
+    window_slots=8,
+    max_beams=360,
+    pso_iterations=25,
+    pso_population=50,
+    cost_mode="exact",
+    save_every=2,
+)
+
+
+@pytest.fixture(scope="module")
+def log():
+    return synthetic.make_log(seed=8, n_scans=12, n_beams=360, world_size=40.0,
+                              odom_noise=0.02)
+
+
+def test_node_tracks_and_exports(log, tmp_path):
+    node = SlamNode(
+        NodeConfig(**SMALL, init_pose=tuple(log.poses[0]), build_og=True,
+                   og_cell_size_m=0.25, save_map_images=True),
+        verbose=False,
+    )
+    received = []
+    node.on_pose(lambda ts, pose: received.append((ts, pose)))
+    poses = node.run_log(log)
+    assert len(received) == 12
+    err = np.hypot(*(poses[:, :2] - log.poses[:, :2]).T)
+    assert err.max() < 0.2, f"node tracking error {err.max():.3f}"
+    assert node.meter.average_rate_hz > 0
+
+    base = str(tmp_path / "run1")
+    files = node.shutdown(base)
+    names = {os.path.basename(f) for f in files}
+    assert "run1.pose.csv" in names
+    assert "run1.map.csv" in names
+    assert "run1.gnuplot" in names
+    assert "run1.cells.csv" in names
+    assert any("occupancy-grid.png" in n for n in names)
+    assert any("ppm.png" in n for n in names)
+    # pose csv has one row per scan with odometry columns filled
+    lines = open(base + ".pose.csv").read().strip().split("\n")
+    assert len(lines) == 13
+    assert len(lines[1].split(",")) == 7
+    # map csv contains a real point cloud
+    assert len(open(base + ".map.csv").read().strip().split("\n")) > 100
+    # cells csv rows look like Gaussians
+    cells = open(base + ".cells.csv").read().strip().split("\n")
+    assert len(cells) > 30
+
+
+def test_checkpoint_resume_exact(log, tmp_path):
+    cfg = NodeConfig(**SMALL, init_pose=tuple(log.poses[0]))
+    full = SlamNode(cfg, verbose=False)
+    poses_full = full.run_log(log)
+
+    half = SlamNode(cfg, verbose=False)
+    for i in range(6):
+        half.process_scan(
+            log.ranges[i], log.angle_min, log.angle_increment, log.range_max,
+            timestamp=float(log.timestamps[i]),
+        )
+    ckpt = str(tmp_path / "mid.npz")
+    half.save_checkpoint(ckpt)
+
+    resumed = SlamNode(cfg, verbose=False)
+    resumed.load_checkpoint(ckpt)
+    poses_resumed = []
+    for i in range(6, 12):
+        poses_resumed.append(
+            resumed.process_scan(
+                log.ranges[i], log.angle_min, log.angle_increment, log.range_max,
+                timestamp=float(log.timestamps[i]),
+            )
+        )
+    np.testing.assert_allclose(
+        np.array(poses_resumed), poses_full[6:], atol=1e-6,
+        err_msg="resume must continue the exact trajectory",
+    )
+
+
+def test_checkpoint_shape_mismatch_rejected(log, tmp_path):
+    cfg = NodeConfig(**SMALL)
+    node = SlamNode(cfg, verbose=False)
+    ckpt = str(tmp_path / "a.npz")
+    node.save_checkpoint(ckpt)
+    other = SlamNode(NodeConfig(**{**SMALL, "frame_size_m": 32.0}), verbose=False)
+    with pytest.raises(ValueError, match="shape"):
+        other.load_checkpoint(ckpt)
+
+
+def test_node_config_json(tmp_path):
+    path = str(tmp_path / "cfg.json")
+    json.dump({"frame_size_m": 64.0, "pso_iterations": 7}, open(path, "w"))
+    cfg = NodeConfig.from_json(path, pso_population=11)
+    assert cfg.frame_size_m == 64.0
+    assert cfg.pso_iterations == 7
+    assert cfg.pso_population == 11
+    json.dump({"bogus_key": 1}, open(path, "w"))
+    with pytest.raises(ValueError, match="bogus_key"):
+        NodeConfig.from_json(path)
+
+
+def test_launch_configs_parse():
+    here = os.path.join(os.path.dirname(__file__), "..", "launch")
+    for name in ("scan.json", "lidar_front.json", "lidar_back.json"):
+        raw = json.load(open(os.path.join(here, name)))
+        raw.pop("_comment", None)
+        cfg = NodeConfig(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in raw.items()
+        })
+        assert cfg.frame_size_m > 0
+
+
+def test_occupancy_grid_contents(log):
+    # Fine og sampling relative to the NDT cells (the reference default is
+    # 0.1 m og on 0.5 m cells): wall Gaussians are thin, coarse sub-cell
+    # centres mostly miss the ridge and truncate to 0 like upstream.
+    node = SlamNode(
+        NodeConfig(**SMALL, init_pose=tuple(log.poses[0]), build_og=True,
+                   og_cell_size_m=0.125),
+        verbose=False,
+    )
+    node.run_log(log)
+    og = np.asarray(node.state.og.og)
+    occupied = og[og > 0]
+    assert len(occupied) > 50  # walls rasterized
+    assert occupied.max() <= 100  # p*100 cap
+    bbox = (int(node.state.og.min_x), int(node.state.og.max_x),
+            int(node.state.og.min_y), int(node.state.og.max_y))
+    assert bbox[0] <= bbox[1] and bbox[2] <= bbox[3]
+
+
+def test_cli_and_tools_end_to_end(log, tmp_path):
+    logpath = str(tmp_path / "log.ndtlog")
+    native.scanlog_write(
+        logpath, log.ranges, log.poses, log.odoms, log.timestamps,
+        log.angle_min, log.angle_increment, log.range_max,
+    )
+    assert _load_log(logpath).ranges.shape == log.ranges.shape
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo + ":" +
+               os.environ.get("PYTHONPATH", ""))
+    out_base = str(tmp_path / "cli")
+    r = subprocess.run(
+        [sys.executable, "-m", "ndtpso_slam_tpu.node", "--scanlog", logpath,
+         "--out", out_base, "--quiet", "--frame-size", "48", "--cell-side", "1",
+         "--iterations", "20", "--population", "40", "--cost-mode", "exact",
+         "--checkpoint", str(tmp_path / "final.npz")],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out_base + ".pose.csv")
+    assert os.path.exists(str(tmp_path / "final.npz"))
+
+    odom_csv = logpath + ".odom.csv"
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "odom_export.py"), logpath],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=120,
+    )
+    assert r2.returncode == 0, r2.stderr[-1000:]
+    assert os.path.exists(odom_csv)
+
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "path_publisher.py"),
+         out_base + ".pose.csv", "--odom-csv", odom_csv],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=120,
+    )
+    assert r3.returncode == 0, r3.stderr[-1000:]
+    assert os.path.exists(out_base + ".pose.csv.paths.png")
