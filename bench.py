@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--pad-beams", type=int, default=384)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--mode", default="fast", choices=["fast", "exact"])
+    ap.add_argument("--mode", default="fast", choices=["fast", "fast_fused", "exact"])
     ap.add_argument("--cells", type=float, default=1.0)
     args = ap.parse_args()
 

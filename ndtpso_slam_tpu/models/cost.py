@@ -149,9 +149,42 @@ def bound_cost(poses: jnp.ndarray, bound: BoundScan) -> jnp.ndarray:
         axis=-1,
     )  # [P, 5]
     z = jnp.dot(_phi(u), bound.w.T, preferred_element_type=poses.dtype)  # [P, N]
+    # (kept in sync with the fused Pallas path in bound_cost_fused)
     # Clamp at 0: regularized inverses of near-degenerate cells can carry a
     # numerically negative eigenvalue; harmless in the exact cost (the point
     # is inside its cell, |z| tiny) but explosive when a far-flung particle
     # extrapolates the frozen quadratic.  Scores stay in (0, 1].
     score = jnp.exp(-0.5 * jnp.maximum(z, 0.0))
     return -jnp.dot(score, bound.mask, preferred_element_type=poses.dtype)
+
+
+def pose_features(poses: jnp.ndarray, bind_pose: jnp.ndarray) -> jnp.ndarray:
+    """phi(u) monomials for poses relative to a binding pose.
+
+    poses: [..., P, 3]; bind_pose: [..., 3] -> [..., P, 15].
+    """
+    dtheta = poses[..., 2] - bind_pose[..., None, 2]
+    u = jnp.stack(
+        [
+            jnp.cos(dtheta) - 1.0,
+            jnp.sin(dtheta),
+            poses[..., 0] - bind_pose[..., None, 0],
+            poses[..., 1] - bind_pose[..., None, 1],
+            jnp.ones_like(dtheta),
+        ],
+        axis=-1,
+    )
+    return _phi(u)
+
+
+def bound_cost_fused(
+    poses: jnp.ndarray,  # [B, P, 3]
+    bound: BoundScan,  # batched: bind_pose [B,3], w [B,N,15], mask [B,N]
+    interpret: bool = False,
+) -> jnp.ndarray:  # [B, P]
+    """Batched fast cost through the fused Pallas scoring kernel
+    (ops/pallas_score.py): z never touches HBM."""
+    from ndtpso_slam_tpu.ops.pallas_score import fused_bound_scores
+
+    phi = pose_features(poses, bound.bind_pose)  # [B, P, 15]
+    return fused_bound_scores(phi, bound.w, bound.mask, interpret=interpret)

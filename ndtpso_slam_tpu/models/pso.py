@@ -181,3 +181,79 @@ def glir_pso_solve(
     init = (pos, jnp.zeros_like(pos), pos, cost, cost, gbest, gbest_cost)
     *_, gbest, gbest_cost = jax.lax.fori_loop(0, cfg.iterations, body, init)
     return PsoResult(pose=gbest, cost=gbest_cost)
+
+
+def pso_solve_batch(
+    keys: jnp.ndarray,  # [B, 2] uint32, one key per solve
+    guesses: jnp.ndarray,  # [B, 3]
+    deviations: jnp.ndarray,  # [B, 3]
+    cost_fn,  # (poses [B, P, 3], binds [B, 3]) -> [B, P]
+    cfg: PSOConfig,
+) -> PsoResult:
+    """B independent solves with an explicit batch axis.
+
+    Semantically identical to ``vmap(pso_solve)`` (same per-solve Threefry
+    streams, same update rule) but the cost callback sees the whole
+    ``[B, P, 3]`` pose block at once — which is what lets the fused Pallas
+    scoring kernel (ops/pallas_score.py) run one grid over (solves,
+    particle tiles) instead of being vmapped per solve.  Returns a
+    :class:`PsoResult` with leading batch axis B.
+    """
+    dtype = guesses.dtype
+    b, _ = guesses.shape
+    p = cfg.population
+    zero_dev = jnp.asarray(ZERO_DEVIATION, dtype)
+
+    g_ctr, p_ctr = rng.pso_init_pairs(p)
+    u_g = jax.vmap(lambda k: rng.uniform_pairs((k[0], k[1]), g_ctr, dtype)[0])(keys)
+    g_pos = guesses + (2.0 * u_g - 1.0) * zero_dev  # [B, 3]
+    g_cost = cost_fn(g_pos[:, None, :], guesses)[:, 0]  # [B]
+
+    u_p = jax.vmap(lambda k: rng.uniform_pairs((k[0], k[1]), p_ctr, dtype)[0])(keys)
+    pos = guesses[:, None, :] + (2.0 * u_p - 1.0) * deviations[:, None, :]
+    cost = cost_fn(pos, guesses)  # [B, P]
+    bi = jnp.argmin(cost, axis=1)
+    bc = jnp.take_along_axis(cost, bi[:, None], axis=1)[:, 0]
+    bp = jnp.take_along_axis(pos, bi[:, None, None], axis=1)[:, 0]
+    improved = bc < g_cost
+    gbest = jnp.where(improved[:, None], bp, g_pos)
+    gbest_cost = jnp.where(improved, bc, g_cost)
+
+    c1 = jnp.asarray(cfg.c1, dtype)
+    c2 = jnp.asarray(cfg.c2, dtype)
+
+    def body(i, carry):
+        pos, vel, pbest, pbest_cost, gbest, gbest_cost, w = carry
+        r1, r2 = jax.vmap(
+            lambda k: rng.uniform_pairs((k[0], k[1]), rng.pso_iter_pairs(i, p), dtype)
+        )(keys)
+        vel = (
+            w * vel
+            + c1 * r1 * (pbest - pos)
+            + c2 * r2 * (gbest[:, None, :] - pos)
+        )
+        pos = pos + vel
+        cost = cost_fn(pos, gbest)
+        better = cost < pbest_cost
+        pbest = jnp.where(better[..., None], pos, pbest)
+        pbest_cost = jnp.where(better, cost, pbest_cost)
+        bi = jnp.argmin(pbest_cost, axis=1)
+        bc = jnp.take_along_axis(pbest_cost, bi[:, None], axis=1)[:, 0]
+        bp = jnp.take_along_axis(pbest, bi[:, None, None], axis=1)[:, 0]
+        gimp = bc < gbest_cost
+        gbest = jnp.where(gimp[:, None], bp, gbest)
+        gbest_cost = jnp.where(gimp, bc, gbest_cost)
+        w = w * jnp.asarray(cfg.w_damping, dtype)
+        return pos, vel, pbest, pbest_cost, gbest, gbest_cost, w
+
+    init = (
+        pos,
+        jnp.zeros_like(pos),
+        pos,
+        cost,
+        gbest,
+        gbest_cost,
+        jnp.asarray(cfg.w, dtype),
+    )
+    *_, gbest, gbest_cost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
+    return PsoResult(pose=gbest, cost=gbest_cost)

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ndtpso_slam_tpu.config import MapConfig, PSOConfig
 from ndtpso_slam_tpu.models import cost as cost_mod
 from ndtpso_slam_tpu.models.ndt_map import MapSnapshot
-from ndtpso_slam_tpu.models.pso import pso_solve
+from ndtpso_slam_tpu.models.pso import pso_solve, pso_solve_batch
 
 SOLVE_AXIS = "solves"
 
@@ -49,6 +49,30 @@ def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cos
     return pso_solve((key[0], key[1]), guess, deviation, cost_fn, pso_cfg)
 
 
+def _solve_batch_impl(
+    keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg,
+    cost_mode, shared_map=False,
+):
+    snap_ax = None if shared_map else 0
+    if cost_mode == "fast_fused":
+        interpret = jax.default_backend() != "tpu"
+
+        def batched_cost(poses, binds):  # [B,P,3], [B,3] -> [B,P]
+            bound = jax.vmap(
+                lambda bind, s, p, v: cost_mod.bind_points(bind, s, p, v, map_cfg),
+                in_axes=(0, snap_ax, 0, 0),
+            )(binds, snaps, points, valid)
+            return cost_mod.bound_cost_fused(poses, bound, interpret=interpret)
+
+        return pso_solve_batch(keys, guesses, deviations, batched_cost, pso_cfg)
+    return jax.vmap(
+        lambda k, g, d, s, p, v: _solve_one(
+            k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode
+        ),
+        in_axes=(0, 0, 0, snap_ax, 0, 0),
+    )(keys, guesses, deviations, snaps, points, valid)
+
+
 @partial(jax.jit, static_argnames=("map_cfg", "pso_cfg", "cost_mode"))
 def solve_batch(
     keys: jnp.ndarray,  # [B, 2] uint32
@@ -61,12 +85,14 @@ def solve_batch(
     pso_cfg: PSOConfig,
     cost_mode: str = "fast",
 ):
-    """B independent scan-match solves, vmapped (BASELINE config 2)."""
-    return jax.vmap(
-        lambda k, g, d, s, p, v: _solve_one(
-            k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode
-        )
-    )(keys, guesses, deviations, snaps, points, valid)
+    """B independent scan-match solves, vmapped (BASELINE config 2).
+
+    ``cost_mode='fast_fused'`` routes scoring through the fused Pallas kernel
+    (one grid over solves x particle tiles, z in VMEM) — the headline path.
+    """
+    return _solve_batch_impl(
+        keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg, cost_mode
+    )
 
 
 def solve_batch_sharded(
@@ -97,18 +123,10 @@ def solve_batch_sharded(
     )
 
     def local(keys, guesses, deviations, snaps, points, valid):
-        fn = jax.vmap(
-            lambda k, g, d, p, v: _solve_one(
-                k, g, d, snaps, p, v, map_cfg, pso_cfg, cost_mode
-            )
-        ) if shared_map else jax.vmap(
-            lambda k, g, d, s, p, v: _solve_one(
-                k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode
-            )
+        return _solve_batch_impl(
+            keys, guesses, deviations, snaps, points, valid,
+            map_cfg, pso_cfg, cost_mode, shared_map=shared_map,
         )
-        if shared_map:
-            return fn(keys, guesses, deviations, points, valid)
-        return fn(keys, guesses, deviations, snaps, points, valid)
 
     shmapped = jax.shard_map(
         local,

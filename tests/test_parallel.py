@@ -156,3 +156,46 @@ def test_distributed_map_merge_equals_serial(world):
     np.testing.assert_allclose(
         np.asarray(bs.mean_c), np.asarray(bm.mean_c), atol=1e-4
     )
+
+
+def test_fused_solve_matches_fast(world):
+    """fast_fused (Pallas kernel, interpret mode on CPU) == fast (XLA)."""
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=4)
+    cfg = cfgm.PSOConfig(iterations=10, population=512)
+    r_fast = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "fast"
+    )
+    r_fused = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "fast_fused"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fast.cost), np.asarray(r_fused.cost), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_fast.pose), np.asarray(r_fused.pose), atol=5e-3
+    )
+
+
+def test_batch_solver_matches_vmap_solver(world):
+    """pso_solve_batch must reproduce vmap(pso_solve) exactly (same Threefry
+    streams, same update rule)."""
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=4)
+    cfg = cfgm.PSOConfig(iterations=8, population=64)
+    r_vmap = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "fast"
+    )
+    from ndtpso_slam_tpu.models.pso import pso_solve_batch
+
+    def batched_cost(poses, binds):
+        bound = jax.vmap(
+            lambda b_, s, p, v: cost_mod.bind_points(b_, s, p, v, MAP_CFG)
+        )(binds, snaps, points, valid)
+        return jax.vmap(cost_mod.bound_cost)(poses, bound)
+
+    r_batch = pso_solve_batch(keys, guesses, devs, batched_cost, cfg)
+    np.testing.assert_allclose(
+        np.asarray(r_vmap.pose), np.asarray(r_batch.pose), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_vmap.cost), np.asarray(r_batch.cost), rtol=1e-5
+    )
