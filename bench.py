@@ -25,15 +25,25 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--particles", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--pad-beams", type=int, default=384)
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--mode", default="fast", choices=["fast", "fast_fused", "exact"])
     ap.add_argument("--cells", type=float, default=1.0)
+    ap.add_argument(
+        "--config", default="batch", choices=["batch", "slam", "multiswarm"],
+        help="BASELINE workload: batch solves (2), sequential SLAM (3), "
+        "multi-swarm relocalization (4)",
+    )
     args = ap.parse_args()
+
+    if args.config == "slam":
+        return bench_slam(args)
+    if args.config == "multiswarm":
+        return bench_multiswarm(args)
 
     import jax
     import jax.numpy as jnp
@@ -157,6 +167,146 @@ def main():
             }
         )
     )
+
+
+def bench_slam(args):
+    """BASELINE config 3: sequential SLAM over a recorded log at LiDAR rate.
+
+    Metric: scans/s through `run_offline` (one lax.scan program); baseline is
+    the reference's 10 Hz LiDAR-rate budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpso_slam_tpu import config as cfgm
+    from ndtpso_slam_tpu.io import synthetic
+    from ndtpso_slam_tpu.models import scan as scan_mod, slam
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    cfg = cfgm.SlamConfig(
+        pso=cfgm.PSOConfig(iterations=30, population=max(args.particles, 50)),
+        map=cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8),
+        scan=cfgm.ScanConfig(max_beams=args.pad_beams),
+        og=cfgm.OccupancyGridConfig(enabled=False),
+        cost_mode="fast" if args.mode != "exact" else "exact",
+    )
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        n_scans = 50
+        lg = synthetic.make_log(seed=2, n_scans=n_scans, n_beams=args.beams,
+                                world_size=50.0)
+        loaded = [
+            scan_mod.load_laser(r, lg.angle_min, lg.angle_increment,
+                                lg.range_max, cfg.scan, cfg.map)
+            for r in lg.ranges
+        ]
+        scans = scan_mod.Scan(
+            points=jnp.stack([s.points for s in loaded]),
+            valid=jnp.stack([s.valid for s in loaded]),
+        )
+        state0 = slam.init_slam(cfg, initial_pose=tuple(lg.poses[0]))
+    key = (np.uint32(3), np.uint32(9))
+    scans, state0 = jax.device_put((scans, state0), dev)
+    log(f"setup {time.time()-t0:.1f}s; T={n_scans} P={cfg.pso.population} "
+        f"I={cfg.pso.iterations}")
+
+    run = lambda: slam.run_offline(state0, scans, key, cfg)
+    t0 = time.time()
+    _, poses, _ = run()
+    jax.block_until_ready(poses)
+    log(f"compile+first run {time.time()-t0:.1f}s")
+    p = np.asarray(poses)  # drain
+    err = np.hypot(p[:, 0] - lg.poses[:, 0], p[:, 1] - lg.poses[:, 1])
+    log(f"traj err: mean {err.mean():.4f} m, max {err.max():.4f} m")
+
+    jax.block_until_ready(run()[1])
+    t0 = time.time()
+    outs = [run() for _ in range(args.reps)]
+    jax.block_until_ready(outs[-1][1])
+    total = time.time() - t0
+    scans_per_s = n_scans * args.reps / total
+    log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s (LiDAR rate 10 Hz)")
+    print(json.dumps({
+        "metric": f"sequential_slam_scans_per_s_{cfg.pso.population}p_{cfg.pso.iterations}i",
+        "value": round(scans_per_s, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_s / 10.0, 4),
+    }))
+
+
+def bench_multiswarm(args):
+    """BASELINE config 4: 16 swarms x 4096 particles against one global map,
+    cross-swarm global-best merge.  One multi-swarm relocalization = one
+    solve; baseline share = 625/16 (16x the per-solve particle budget)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpso_slam_tpu import config as cfgm
+    from ndtpso_slam_tpu.io import synthetic
+    from ndtpso_slam_tpu.models import cost as cost_mod, ndt_map, scan as scan_mod
+    from ndtpso_slam_tpu.parallel.multi_swarm import multi_swarm_solve
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    k_swarms = 16
+    map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=args.cells, window_slots=4)
+    pso_cfg = cfgm.PSOConfig(iterations=args.iters, population=args.particles)
+    scan_cfg = cfgm.ScanConfig(max_beams=args.pad_beams)
+    rs = np.random.RandomState(0)
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        segs = synthetic.make_world(seed=1, size=50.0, n_boxes=8)
+        ref_r = synthetic.raycast(segs, np.zeros(3), args.beams, -np.pi,
+                                  2 * np.pi / args.beams, 30.0)
+        ref = scan_mod.load_laser(ref_r.astype(np.float32), -np.pi,
+                                  2 * np.pi / args.beams, 30.0, scan_cfg, map_cfg)
+        state = ndt_map.init_map(map_cfg)
+        for _ in range(3):
+            jp = np.asarray(ref.points) + rs.normal(0, 0.03, (args.pad_beams, 2))
+            state = ndt_map.add_points(state, map_cfg, jp.astype(np.float32),
+                                       np.asarray(ref.valid))
+            state = ndt_map.build(state, map_cfg)
+        snap = ndt_map.snapshot(state, map_cfg)
+        true = np.float32([0.8, -0.5, 0.06])
+        q_r = synthetic.raycast(segs, true.astype(np.float64), args.beams,
+                                -np.pi, 2 * np.pi / args.beams, 30.0)
+        q = scan_mod.load_laser(q_r.astype(np.float32), -np.pi,
+                                2 * np.pi / args.beams, 30.0, scan_cfg, map_cfg)
+    # Relocalization: swarm guesses spread over hypotheses around the truth.
+    keys = rs.randint(0, 2**31, (k_swarms, 2)).astype(np.uint32)
+    hypo = true + rs.uniform(-1.5, 1.5, (k_swarms, 3)).astype(np.float32) * np.float32([1, 1, 0.1])
+    snap, q, keys, hypo = jax.device_put((snap, q, keys, hypo), dev)
+    log(f"setup {time.time()-t0:.1f}s; K={k_swarms} P={args.particles} I={args.iters}")
+
+    cost_fn = lambda poses, bind: cost_mod.bound_cost(
+        poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
+    )
+    run = jax.jit(lambda k, h: multi_swarm_solve(
+        k, h, jnp.float32([0.6, 0.6, 0.1]), cost_fn, pso_cfg, exchange_every=5
+    ))
+    t0 = time.time()
+    res = run(keys, hypo)
+    jax.block_until_ready(res)
+    log(f"compile+first run {time.time()-t0:.1f}s")
+    pose = np.asarray(res.pose)  # drain
+    log(f"relocalized pose {pose.round(4)} vs true {true.round(4)} "
+        f"(err {np.abs(pose - true).round(4)})")
+
+    jax.block_until_ready(run(keys, hypo))
+    t0 = time.time()
+    outs = [run(keys, hypo) for _ in range(args.reps)]
+    jax.block_until_ready(outs[-1])
+    total = time.time() - t0
+    relocs_per_s = args.reps / total
+    log(f"{args.reps} reps -> {relocs_per_s:.2f} relocalizations/s")
+    print(json.dumps({
+        "metric": f"multiswarm_relocalizations_per_s_{k_swarms}x{args.particles}p_{args.iters}i",
+        "value": round(relocs_per_s, 3),
+        "unit": "relocs/s",
+        "vs_baseline": round(relocs_per_s / (625.0 / 16.0), 4),
+    }))
 
 
 if __name__ == "__main__":
