@@ -31,7 +31,10 @@ def main():
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--pad-beams", type=int, default=384)
     ap.add_argument("--reps", type=int, default=6)
-    ap.add_argument("--mode", default="fast", choices=["fast", "fast_fused", "exact"])
+    ap.add_argument(
+        "--mode", default="fast_local_fused",
+        choices=["fast", "fast_fused", "fast_local", "fast_local_fused", "exact"],
+    )
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
         "--config", default="batch", choices=["batch", "slam", "multiswarm"],

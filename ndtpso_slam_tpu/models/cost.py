@@ -33,12 +33,13 @@ the cell's unnormalized Gaussian score.  Two TPU formulations live here:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ndtpso_slam_tpu.config import MapConfig
 from ndtpso_slam_tpu.models.ndt_map import MapSnapshot
 from ndtpso_slam_tpu.ops import gaussian
-from ndtpso_slam_tpu.ops.geometry import cell_index, transform_points
+from ndtpso_slam_tpu.ops.geometry import cell_coords, cell_index, transform_points
 
 
 def ndt_cost(
@@ -86,7 +87,6 @@ def bind_points(
 ) -> BoundScan:
     """Bind each scan point to its map cell at ``bind_pose`` and precompute
     quadratic-form coefficients.  O(N) gathers, once per iteration."""
-    dtype = points.dtype
     q0 = transform_points(points, bind_pose)  # [N, 2] = R₀p + t₀
     idx, inb = cell_index(
         q0, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m,
@@ -94,8 +94,19 @@ def bind_points(
     )
     mean = snap.mean[idx]
     icov = snap.inv_cov[idx]  # [N, 3] packed Λ
-    mask = (snap.built[idx] & inb & valid).astype(dtype)
+    mask = (snap.built[idx] & inb & valid).astype(points.dtype)
+    return _quadform_bound(bind_pose, points, mean, icov, mask)
 
+
+def _quadform_bound(
+    bind_pose: jnp.ndarray,
+    points: jnp.ndarray,
+    mean: jnp.ndarray,  # [N, 2] per-point cell mean
+    icov: jnp.ndarray,  # [N, 3] per-point packed Λ
+    mask: jnp.ndarray,  # [N] float
+) -> BoundScan:
+    """Quadratic-form coefficient build shared by the gather and stencil
+    binding paths (the math below `core.cpp:37-43`, re-parameterized)."""
     c0 = jnp.cos(bind_pose[2])
     s0 = jnp.sin(bind_pose[2])
     rx = points[:, 0] * c0 - points[:, 1] * s0  # R₀p
@@ -125,6 +136,120 @@ def bind_points(
     # even where Λ was inf/nan from degenerate cells.
     w = jnp.where(mask[:, None] > 0, w, 0.0)
     return BoundScan(bind_pose=bind_pose, w=w, mask=mask)
+
+
+class NeighborhoodBind(struct.PyTreeNode):
+    """Per-point stencil of map cells around an anchor pose.
+
+    TPU gathers are serial and profiled as the dominant PSO-step cost
+    (~1.2 ms/iter at the bench shapes); this pre-gathers, ONCE per solve,
+    the (2r+1)² neighborhood of each point's anchor cell.  Per-iteration
+    rebinding then selects within the stencil with pure VPU
+    compare/select arithmetic — zero gathers in the hot loop.
+
+    Exact within range: as long as the binding pose keeps every point
+    within ±r cells of its anchor cell, the selected statistics are
+    bit-identical to :func:`bind_points`.  A point pushed outside its
+    stencil scores 0 — the same "no information" behavior the reference
+    gives points that leave the map or hit an unbuilt cell
+    (`core.cpp:38-43`); the solve-level parity tests quantify this.
+    """
+
+    anchor_ix: jnp.ndarray  # [N] int32 column of the anchor cell
+    anchor_iy: jnp.ndarray  # [N] int32 row
+    mean: jnp.ndarray  # [N, K2, 2]
+    icov: jnp.ndarray  # [N, K2, 3]
+    built: jnp.ndarray  # [N, K2] bool (cell built AND neighbor inside grid)
+    valid: jnp.ndarray  # [N] bool
+    radius: int = struct.field(pytree_node=False, default=2)
+
+
+def bind_neighborhood(
+    anchor_pose: jnp.ndarray,
+    snap: MapSnapshot,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: MapConfig,
+    radius: int = 2,
+) -> NeighborhoodBind:
+    """Gather each point's (2r+1)² cell stencil at the anchor pose (the PSO
+    initial guess).  One batched gather per solve, amortized over all
+    iterations."""
+    dtype = points.dtype
+    w_cells = cfg.cells_per_side
+    q0 = transform_points(points, anchor_pose)  # [N, 2]
+    ix, iy, _ = cell_coords(q0, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m)
+    side = 2 * radius + 1
+    offs = np.arange(-radius, radius + 1, dtype=np.int32)
+    di = np.tile(offs, side)  # [K2] column offsets, row-major stencil
+    dj = np.repeat(offs, side)
+    nix = ix[:, None] + jnp.asarray(di)[None, :]  # [N, K2]
+    niy = iy[:, None] + jnp.asarray(dj)[None, :]
+    in_grid = (nix >= 0) & (nix < w_cells) & (niy >= 0) & (niy < w_cells)
+
+    # TPU gathers pay per ROW, so gathering [N, K2] separate 8-32 B rows is
+    # ~75x more rows than necessary (profiled at ~50 ms for 64 solves).
+    # Instead: pack (mean, icov, built) into one [C, 8] table, pre-roll it by
+    # each stencil offset ([C, K2, 8], pure shifts), and gather N rows of
+    # K2*8 floats — one wide gather per solve.  Rolls wrap across grid rows
+    # and borders; every wrapped entry has ``in_grid`` False there, which
+    # forces ``built`` False, so wrapped statistics are never read.
+    tbl = jnp.concatenate(
+        [
+            snap.mean.astype(dtype),
+            snap.inv_cov.astype(dtype),
+            snap.built.astype(dtype)[:, None],
+        ],
+        axis=-1,
+    )  # [C, 6]
+    flat_off = dj * w_cells + di  # [K2] numpy, static
+    rolled = jnp.stack(
+        [jnp.roll(tbl, -int(o), axis=0) for o in flat_off], axis=1
+    )  # [C, K2, 6]
+    base = jnp.clip(ix, 0, w_cells - 1) + w_cells * jnp.clip(iy, 0, w_cells - 1)
+    g = rolled[base]  # [N, K2, 6] — single N-row gather
+    return NeighborhoodBind(
+        anchor_ix=ix,
+        anchor_iy=iy,
+        mean=g[..., 0:2],
+        icov=g[..., 2:5],
+        built=(g[..., 5] > 0.5) & in_grid,
+        valid=valid,
+        radius=radius,
+    )
+
+
+def bind_points_local(
+    bind_pose: jnp.ndarray,
+    nbr: NeighborhoodBind,
+    points: jnp.ndarray,
+    cfg: MapConfig,
+) -> BoundScan:
+    """Gather-free per-iteration rebinding against a pre-gathered stencil.
+
+    Selects each point's cell at ``bind_pose`` from its stencil by offset
+    arithmetic; bit-identical to :func:`bind_points` while offsets stay
+    within ±radius (the one-hot select adds only zeros to the chosen
+    entry)."""
+    dtype = points.dtype
+    r = nbr.radius
+    side = 2 * r + 1
+    k2 = side * side
+    q0 = transform_points(points, bind_pose)
+    jx, jy, inb = cell_coords(q0, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m)
+    di = jx - nbr.anchor_ix  # [N]
+    dj = jy - nbr.anchor_iy
+    in_stencil = (jnp.abs(di) <= r) & (jnp.abs(dj) <= r)
+    k = (dj + r) * side + (di + r)  # row-major, matches bind_neighborhood
+    sel = (jnp.arange(k2, dtype=jnp.int32)[None, :] == k[:, None]) & in_stencil[
+        :, None
+    ]  # [N, K2]
+    onehot = sel.astype(dtype)
+    mean = jnp.sum(nbr.mean * onehot[..., None], axis=1)  # [N, 2]
+    icov = jnp.sum(nbr.icov * onehot[..., None], axis=1)  # [N, 3]
+    built = jnp.any(nbr.built & sel, axis=1)
+    mask = (built & inb & nbr.valid).astype(dtype)
+    return _quadform_bound(bind_pose, points, mean, icov, mask)
 
 
 def _phi(u: jnp.ndarray) -> jnp.ndarray:
@@ -177,14 +302,36 @@ def pose_features(poses: jnp.ndarray, bind_pose: jnp.ndarray) -> jnp.ndarray:
     return _phi(u)
 
 
+def pose_features_t(poses: jnp.ndarray, bind_pose: jnp.ndarray) -> jnp.ndarray:
+    """phi(u) monomials, feature-major: [..., P, 3] -> [..., 15, P].
+
+    Built transposed from the start so the fused kernel's MXU-natural
+    ``[15, P]`` operand never pays an XLA transpose of the big particle dim.
+    """
+    dtheta = poses[..., 2] - bind_pose[..., None, 2]
+    u = jnp.stack(
+        [
+            jnp.cos(dtheta) - 1.0,
+            jnp.sin(dtheta),
+            poses[..., 0] - bind_pose[..., None, 0],
+            poses[..., 1] - bind_pose[..., None, 1],
+            jnp.ones_like(dtheta),
+        ],
+        axis=-2,
+    )  # [..., 5, P]
+    return jnp.stack(
+        [u[..., a, :] * u[..., b, :] for a, b in _IJ], axis=-2
+    )  # [..., 15, P]
+
+
 def bound_cost_fused(
     poses: jnp.ndarray,  # [B, P, 3]
     bound: BoundScan,  # batched: bind_pose [B,3], w [B,N,15], mask [B,N]
     interpret: bool = False,
 ) -> jnp.ndarray:  # [B, P]
     """Batched fast cost through the fused Pallas scoring kernel
-    (ops/pallas_score.py): z never touches HBM."""
+    (ops/pallas_score.py): the score matrix never touches HBM."""
     from ndtpso_slam_tpu.ops.pallas_score import fused_bound_scores
 
-    phi = pose_features(poses, bound.bind_pose)  # [B, P, 15]
-    return fused_bound_scores(phi, bound.w, bound.mask, interpret=interpret)
+    phit = pose_features_t(poses, bound.bind_pose)  # [B, 15, P]
+    return fused_bound_scores(phit, bound.w, bound.mask, interpret=interpret)

@@ -41,6 +41,26 @@ class PsoResult(NamedTuple):
     cost: jnp.ndarray  # [] its cost (under the final binding)
 
 
+def _select_min(cost: jnp.ndarray, pos: jnp.ndarray):
+    """(min cost, pos row at the first argmin) along the last/particle axis,
+    with no dynamic gathers.
+
+    ``argmin`` + ``take_along_axis`` lower to data-dependent gathers, which
+    are serial on TPU and profiled at ~40% of the whole PSO step; the
+    one-hot select here is pure VPU compare/reduce work and bit-identical
+    (first-minimal-index tie-break, value selected exactly — the masked sum
+    adds only zeros to it).
+
+    cost: [..., P]; pos: [..., P, K].  Returns ([...], [..., K]).
+    """
+    p = cost.shape[-1]
+    iota = jnp.arange(p, dtype=jnp.int32)
+    m = jnp.min(cost, axis=-1, keepdims=True)
+    first = jnp.min(jnp.where(cost == m, iota, p), axis=-1, keepdims=True)
+    onehot = (iota == first).astype(pos.dtype)
+    return m[..., 0], jnp.sum(onehot[..., None] * pos, axis=-2)
+
+
 def pso_solve(
     key: Tuple[jnp.ndarray, jnp.ndarray],
     guess: jnp.ndarray,
@@ -73,10 +93,10 @@ def pso_solve(
     u_p, _ = rng.uniform_pairs(key, p_ctr, dtype)
     pos = guess + (2.0 * u_p - 1.0) * jnp.asarray(deviation, dtype)
     cost = cost_fn(pos, guess)
-    best_i = jnp.argmin(cost)
-    improved = cost[best_i] < g_cost
-    gbest = jnp.where(improved, pos[best_i], g_pos)
-    gbest_cost = jnp.where(improved, cost[best_i], g_cost)
+    bc, bp = _select_min(cost, pos)
+    improved = bc < g_cost
+    gbest = jnp.where(improved, bp, g_pos)
+    gbest_cost = jnp.where(improved, bc, g_cost)
 
     c1 = jnp.asarray(cfg.c1, dtype)
     c2 = jnp.asarray(cfg.c2, dtype)
@@ -92,10 +112,10 @@ def pso_solve(
         better = cost < pbest_cost
         pbest = jnp.where(better[:, None], pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
-        bi = jnp.argmin(pbest_cost)
-        gimp = pbest_cost[bi] < gbest_cost
-        gbest = jnp.where(gimp, pbest[bi], gbest)
-        gbest_cost = jnp.where(gimp, pbest_cost[bi], gbest_cost)
+        bc, bp = _select_min(pbest_cost, pbest)
+        gimp = bc < gbest_cost
+        gbest = jnp.where(gimp, bp, gbest)
+        gbest_cost = jnp.where(gimp, bc, gbest_cost)
         w = w * jnp.asarray(cfg.w_damping, dtype)
         return pos, vel, pbest, pbest_cost, gbest, gbest_cost, w
 
@@ -141,10 +161,10 @@ def glir_pso_solve(
     u_p, _ = rng.uniform_pairs(key, p_ctr, dtype)
     pos = guess + (2.0 * u_p - 1.0) * jnp.asarray(deviation, dtype)
     cost = cost_fn(pos, guess)
-    bi = jnp.argmin(cost)
-    improved = cost[bi] < g_cost
-    gbest = jnp.where(improved, pos[bi], g_pos)
-    gbest_cost = jnp.where(improved, cost[bi], g_cost)
+    bc, bp = _select_min(cost, pos)
+    improved = bc < g_cost
+    gbest = jnp.where(improved, bp, g_pos)
+    gbest_cost = jnp.where(improved, bc, g_cost)
 
     eps = jnp.asarray(1e-12, dtype)
 
@@ -172,10 +192,10 @@ def glir_pso_solve(
         pbest = jnp.where(better[:, None], pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
         pbest_sum = pbest_sum + pbest_cost
-        bj = jnp.argmin(pbest_cost)
-        gimp = pbest_cost[bj] < gbest_cost
-        gbest = jnp.where(gimp, pbest[bj], gbest)
-        gbest_cost = jnp.where(gimp, pbest_cost[bj], gbest_cost)
+        bc, bp = _select_min(pbest_cost, pbest)
+        gimp = bc < gbest_cost
+        gbest = jnp.where(gimp, bp, gbest)
+        gbest_cost = jnp.where(gimp, bc, gbest_cost)
         return pos, vel, pbest, pbest_cost, pbest_sum, gbest, gbest_cost
 
     init = (pos, jnp.zeros_like(pos), pos, cost, cost, gbest, gbest_cost)
@@ -212,9 +232,7 @@ def pso_solve_batch(
     u_p = jax.vmap(lambda k: rng.uniform_pairs((k[0], k[1]), p_ctr, dtype)[0])(keys)
     pos = guesses[:, None, :] + (2.0 * u_p - 1.0) * deviations[:, None, :]
     cost = cost_fn(pos, guesses)  # [B, P]
-    bi = jnp.argmin(cost, axis=1)
-    bc = jnp.take_along_axis(cost, bi[:, None], axis=1)[:, 0]
-    bp = jnp.take_along_axis(pos, bi[:, None, None], axis=1)[:, 0]
+    bc, bp = _select_min(cost, pos)
     improved = bc < g_cost
     gbest = jnp.where(improved[:, None], bp, g_pos)
     gbest_cost = jnp.where(improved, bc, g_cost)
@@ -237,9 +255,7 @@ def pso_solve_batch(
         better = cost < pbest_cost
         pbest = jnp.where(better[..., None], pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
-        bi = jnp.argmin(pbest_cost, axis=1)
-        bc = jnp.take_along_axis(pbest_cost, bi[:, None], axis=1)[:, 0]
-        bp = jnp.take_along_axis(pbest, bi[:, None, None], axis=1)[:, 0]
+        bc, bp = _select_min(pbest_cost, pbest)
         gimp = bc < gbest_cost
         gbest = jnp.where(gimp[:, None], bp, gbest)
         gbest_cost = jnp.where(gimp, bc, gbest_cost)

@@ -74,6 +74,23 @@ def cell_index(
     return idx, inb
 
 
+def cell_coords(points: jnp.ndarray, *, size_m: float, cell_side_m: float):
+    """2-D (column, row) cell coordinates + strict-border in-bounds mask.
+
+    Same binning formula as :func:`cell_index` (`ndtframe.cpp:240-249`) but
+    keeps the unclipped per-axis integer coordinates — the form the
+    stencil/neighborhood binding needs.
+
+    Returns (ix [...], iy [...], in_bounds [...]).
+    """
+    half = size_m / 2.0
+    x, y = points[..., 0], points[..., 1]
+    inb = (x > -half) & (x < half) & (y > -half) & (y < half)
+    ix = jnp.floor((x + half) / cell_side_m).astype(jnp.int32)
+    iy = jnp.floor((y + half) / cell_side_m).astype(jnp.int32)
+    return ix, iy, inb
+
+
 def wrap_angle(theta: jnp.ndarray) -> jnp.ndarray:
     """Wrap angles to (-pi, pi]."""
     return jnp.arctan2(jnp.sin(theta), jnp.cos(theta))

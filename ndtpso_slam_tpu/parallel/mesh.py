@@ -37,10 +37,20 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SOLVE_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+STENCIL_RADIUS = 2  # default ±cells covered by the 'fast_local' binding
+
+
 def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cost_mode):
     if cost_mode == "fast":
         cost_fn = lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points(bind, snap, points, valid, map_cfg)
+        )
+    elif cost_mode == "fast_local":
+        nbr = cost_mod.bind_neighborhood(
+            guess, snap, points, valid, map_cfg, radius=STENCIL_RADIUS
+        )
+        cost_fn = lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points_local(bind, nbr, points, map_cfg)
         )
     else:
         cost_fn = lambda poses, bind: cost_mod.ndt_cost(
@@ -54,15 +64,32 @@ def _solve_batch_impl(
     cost_mode, shared_map=False,
 ):
     snap_ax = None if shared_map else 0
-    if cost_mode == "fast_fused":
+    if cost_mode in ("fast_fused", "fast_local_fused"):
         interpret = jax.default_backend() != "tpu"
-
-        def batched_cost(poses, binds):  # [B,P,3], [B,3] -> [B,P]
-            bound = jax.vmap(
-                lambda bind, s, p, v: cost_mod.bind_points(bind, s, p, v, map_cfg),
+        if cost_mode == "fast_local_fused":
+            nbrs = jax.vmap(
+                lambda g, s, p, v: cost_mod.bind_neighborhood(
+                    g, s, p, v, map_cfg, radius=STENCIL_RADIUS
+                ),
                 in_axes=(0, snap_ax, 0, 0),
-            )(binds, snaps, points, valid)
-            return cost_mod.bound_cost_fused(poses, bound, interpret=interpret)
+            )(guesses, snaps, points, valid)
+
+            def batched_cost(poses, binds):  # [B,P,3], [B,3] -> [B,P]
+                bound = jax.vmap(
+                    lambda bind, nb, p: cost_mod.bind_points_local(
+                        bind, nb, p, map_cfg
+                    )
+                )(binds, nbrs, points)
+                return cost_mod.bound_cost_fused(poses, bound, interpret=interpret)
+
+        else:
+
+            def batched_cost(poses, binds):  # [B,P,3], [B,3] -> [B,P]
+                bound = jax.vmap(
+                    lambda bind, s, p, v: cost_mod.bind_points(bind, s, p, v, map_cfg),
+                    in_axes=(0, snap_ax, 0, 0),
+                )(binds, snaps, points, valid)
+                return cost_mod.bound_cost_fused(poses, bound, interpret=interpret)
 
         return pso_solve_batch(keys, guesses, deviations, batched_cost, pso_cfg)
     return jax.vmap(
