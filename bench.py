@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument(
         "--mode", default="fast_local_fused",
-        choices=["fast", "fast_fused", "fast_local", "fast_local_fused", "exact"],
+        choices=["fast", "fast_fused", "fast_local", "fast_local_fused",
+                 "rollout", "exact"],
     )
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
@@ -191,7 +192,12 @@ def bench_slam(args):
         map=cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8),
         scan=cfgm.ScanConfig(max_beams=args.pad_beams),
         og=cfgm.OccupancyGridConfig(enabled=False),
-        cost_mode="fast" if args.mode != "exact" else "exact",
+        cost_mode=(
+            "exact" if args.mode == "exact"
+            else "fast_local" if args.mode in ("fast_local", "fast_local_fused",
+                                               "rollout")
+            else "fast"
+        ),
     )
     t0 = time.time()
     cpu = jax.devices("cpu")[0]
@@ -283,9 +289,19 @@ def bench_multiswarm(args):
     snap, q, keys, hypo = jax.device_put((snap, q, keys, hypo), dev)
     log(f"setup {time.time()-t0:.1f}s; K={k_swarms} P={args.particles} I={args.iters}")
 
-    cost_fn = lambda poses, bind: cost_mod.bound_cost(
-        poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
-    )
+    if args.mode == "exact":
+        cost_fn = lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
+        )
+    else:
+        # Swarms bind at exchanged global bests that can be far from any one
+        # swarm's hypothesis, so the stencil binding doesn't apply — but the
+        # fused Pallas scoring kernel does: all K*P poses score as one B=1
+        # grid, the [K*P, N] score matrix never touching HBM.
+        def cost_fn(poses, bind):
+            bound = cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
+            batched = jax.tree_util.tree_map(lambda x: x[None], bound)
+            return cost_mod.bound_cost_fused(poses[None], batched)[0]
     run = jax.jit(lambda k, h: multi_swarm_solve(
         k, h, jnp.float32([0.6, 0.6, 0.1]), cost_fn, pso_cfg, exchange_every=5
     ))

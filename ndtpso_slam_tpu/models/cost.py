@@ -77,6 +77,9 @@ class BoundScan(struct.PyTreeNode):
 # Index pairs (a<=b) of the 15 monomials u_a u_b for u in R^5.
 _IJ = [(a, b) for a in range(5) for b in range(a, 5)]
 
+# Default ±cells covered by the stencil ('fast_local'/'rollout') binding.
+DEFAULT_STENCIL_RADIUS = 2
+
 
 def bind_points(
     bind_pose: jnp.ndarray,

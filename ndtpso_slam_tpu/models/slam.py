@@ -67,7 +67,9 @@ def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
     )
 
 
-def make_cost_fn(snap: ndt_map.MapSnapshot, scan: Scan, cfg: SlamConfig):
+def make_cost_fn(
+    snap: ndt_map.MapSnapshot, scan: Scan, cfg: SlamConfig, guess=None
+):
     """Batched cost closure for the solver, per the configured cost mode."""
     if cfg.cost_mode == "exact":
         return lambda poses, bind: cost_mod.ndt_cost(
@@ -76,6 +78,18 @@ def make_cost_fn(snap: ndt_map.MapSnapshot, scan: Scan, cfg: SlamConfig):
     if cfg.cost_mode == "fast":
         return lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points(bind, snap, scan.points, scan.valid, cfg.map)
+        )
+    if cfg.cost_mode == "fast_local":
+        # Gather-free hot loop: pre-gather each point's cell stencil once at
+        # the initial guess, rebind per iteration by offset arithmetic
+        # (models/cost.py:bind_points_local).  Valid while the swarm stays
+        # within ±radius cells of the guess — the scan-to-scan regime.
+        nbr = cost_mod.bind_neighborhood(
+            guess, snap, scan.points, scan.valid, cfg.map,
+            radius=cost_mod.DEFAULT_STENCIL_RADIUS,
+        )
+        return lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points_local(bind, nbr, scan.points, cfg.map)
         )
     raise ValueError(f"unknown cost_mode: {cfg.cost_mode}")
 
@@ -93,7 +107,9 @@ def align(
     first_dev = jnp.asarray(cfg.first_deviation, dtype)
     adaptive = jnp.abs(astate.pose_diff * jnp.asarray(cfg.deviation_scale, dtype))
     deviation = jnp.where(astate.iter < 2, first_dev, adaptive)
-    result = pso_solve(key, guess, deviation, make_cost_fn(snap, scan, cfg), cfg.pso)
+    result = pso_solve(
+        key, guess, deviation, make_cost_fn(snap, scan, cfg, guess), cfg.pso
+    )
     new_astate = AlignState(
         prev_pose=result.pose,
         pose_diff=result.pose - astate.prev_pose,

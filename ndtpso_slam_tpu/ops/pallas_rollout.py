@@ -1,0 +1,369 @@
+"""Whole-rollout Pallas TPU kernel: one PSO scan-match solve per grid step.
+
+The fused scoring kernel (ops/pallas_score.py) removed the score matrix's HBM
+round-trip, but the PSO *loop* still ran in XLA: every iteration dispatched
+separate kernels for the Threefry draws, the velocity/position update, the
+stencil rebind, the monomial features, and the best-reductions — measured at
+~45% of the 0.64 ms/iteration step time at the benchmark operating point
+(B=64 solves x 4096 particles x 384 points).
+
+This kernel runs the ENTIRE solve on-chip (reference semantics:
+`pso_optimization`, `core.cpp:50-116`, synchronous-gbest variant as in
+models/pso.py): grid = (solves,); per grid step the swarm state
+(pos/vel/pbest, 8x P f32 rows), the pre-gathered cell stencil, and the score
+matrix all live in VMEM for all iterations.  Per-iteration HBM traffic is
+ZERO — HBM sees only the per-solve inputs once and the final pose row.
+
+In-kernel pieces, all bit-matching their XLA counterparts:
+
+* Threefry-2x32 (20 rounds) on uint32 vectors — the exact frozen draw
+  protocol of ops/rng.py (counter = 3 + 3P + i*3P + 3j + k), so the rollout
+  consumes the same uniform stream as the jnp solver and the C++ golden.
+* Gather-free stencil rebind (models/cost.py:bind_points_local): the
+  (2r+1)^2-cell neighborhood of each point, pre-gathered once per solve at
+  the anchor pose, is re-selected each iteration by one-hot offset
+  arithmetic — 25 fused multiply-adds over an [8, N] table.
+* Quadratic-form coefficient build (models/cost.py:_quadform_bound) as
+  [1, N]-row arithmetic; the validity mask is folded into the constant
+  monomial's coefficient (w14 += (1-mask)*1e9) so masked points score
+  exp(-5e8) = 0 exactly and the reduction needs no mask operand.
+* Scoring: z[N, P] = w[16, N]^T @ phi[16, P] on the MXU, exp on the VPU,
+  and a VPU masked row-sum (measured 12% faster than the matvec reduction
+  at these shapes).
+* Global-best merge as the first-argmin one-hot select of models/pso.py
+  (`_select_min`) — the race-free equivalent of the reference's
+  `omp critical` section (`core.cpp:97-104`).
+
+Layout: particle state is [8, P] f32 (rows 0..2 = x, y, theta; rows 3..7 are
+sublane padding that is computed but never read); per-point rows are [1, N]
+lanes.  P and N must be multiples of 128 (the bench shapes 4096/384 are).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ndtpso_slam_tpu.config import MapConfig, PSOConfig, ZERO_DEVIATION
+
+_U32 = jnp.uint32
+_ROT_A = (13, 15, 26, 6)
+_ROT_B = (17, 29, 16, 24)
+_PARITY = 0x1BD11BDA
+_U01 = float(np.float32(1.0 / (1 << 24)))
+# Index pairs (a<=b) of the 15 monomials u_a u_b, as in models/cost.py.
+_IJ = [(a, b) for a in range(5) for b in range(a, 5)]
+_BIG = 1e9  # masked-point coefficient: exp(-BIG/2) == 0 in f32
+
+
+def _rotl(x, r):
+    return (x << _U32(r)) | (x >> _U32(32 - r))
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32, 20 rounds, on uint32 arrays (ops/rng.py protocol)."""
+    k2 = k0 ^ k1 ^ _U32(_PARITY)
+    ks = (k0, k1, k2)
+    x0 = c0 + k0
+    x1 = c1 + k1
+    for block in range(5):
+        rots = _ROT_A if block % 2 == 0 else _ROT_B
+        for r in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r) ^ x0
+        x0 = x0 + ks[(block + 1) % 3]
+        x1 = x1 + ks[(block + 2) % 3] + _U32(block + 1)
+    return x0, x1
+
+
+def _uniform_pairs(k0, k1, ctr):
+    """(u_lo, u_hi) in [0,1) f32 for a uint32 counter array."""
+    x0, x1 = _threefry2x32(k0, k1, ctr, jnp.zeros_like(ctr))
+    # Mosaic has no u32->f32 cast; after >>8 the value fits in 24 bits, so
+    # the int32 detour is bit-identical to ops/rng.py's direct cast.
+    u0 = (x0 >> _U32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(_U01)
+    u1 = (x1 >> _U32(8)).astype(jnp.int32).astype(jnp.float32) * jnp.float32(_U01)
+    return u0, u1
+
+
+def _select_min(cost, pos8):
+    """First-argmin one-hot select (models/pso.py:_select_min).
+
+    cost: [1, P]; pos8: [8, P].  Returns ([1, 1] min cost, [8, 1] row)."""
+    p = cost.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 1)
+    m = jnp.min(cost, axis=1, keepdims=True)
+    first = jnp.min(jnp.where(cost == m, iota, p), axis=1, keepdims=True)
+    onehot = (iota == first).astype(pos8.dtype)  # [1, P]
+    return m, jnp.sum(pos8 * onehot, axis=1, keepdims=True)
+
+
+def _rollout_kernel(
+    keys_ref,  # SMEM [B, 2] uint32 (whole array; indexed by program_id)
+    guess_ref,  # SMEM [B, 3] f32
+    dev_ref,  # SMEM [B, 3] f32
+    pts_ref,  # VMEM [1, 8, N] f32: rows px, py, anchor_ix, anchor_iy, valid
+    sten_ref,  # VMEM [1, K2, 8, N] f32: rows mx, my, la, lb, lc, built, 0, 0
+    out_ref,  # VMEM [1, 8, 128] f32: rows x, y, theta, cost broadcast
+    *,
+    cfg: PSOConfig,
+    half: float,
+    inv_cell: float,
+    radius: int,
+    n_pts: int,
+):
+    p = cfg.population
+    side = 2 * radius + 1
+    k2 = side * side
+    f32 = jnp.float32
+
+    bi = pl.program_id(0)
+    k0 = keys_ref[bi, 0]
+    k1 = keys_ref[bi, 1]
+
+    px = pts_ref[0, 0:1, :]  # [1, N]
+    py = pts_ref[0, 1:2, :]
+    ax = pts_ref[0, 2:3, :].astype(jnp.int32)
+    ay = pts_ref[0, 3:4, :].astype(jnp.int32)
+    vmask = pts_ref[0, 4:5, :]
+
+    row8p = jax.lax.broadcasted_iota(jnp.int32, (8, p), 0)
+    col8p = jax.lax.broadcasted_iota(jnp.int32, (8, p), 1)
+    ctr_base = (3 * col8p + row8p).astype(_U32)  # 3j + k (rows >= 3 unused)
+
+    def col3(ref):
+        """[8, 1] f32 column from a 3-scalar SMEM row (rows 3..7 zero)."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        return jnp.where(
+            r == 0, ref[bi, 0], jnp.where(r == 1, ref[bi, 1],
+                                          jnp.where(r == 2, ref[bi, 2],
+                                                    f32(0)))
+        ).astype(f32)
+
+    guess8 = col3(guess_ref)  # [8, 1]
+    dev8 = col3(dev_ref)
+    zd = ZERO_DEVIATION
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    zdev8 = jnp.where(
+        zrow == 0, f32(zd[0]), jnp.where(zrow == 1, f32(zd[1]),
+                                         jnp.where(zrow == 2, f32(zd[2]), f32(0)))
+    )
+
+    def score(pos8, bind8):
+        """Cost [1, P] of [8, P] particle poses, stencil-rebound at bind8
+        ([8, 1] pose).  Mirrors bind_points_local + bound_cost."""
+        bx = bind8[0:1, 0:1]  # [1, 1]
+        by = bind8[1:2, 0:1]
+        bth = bind8[2:3, 0:1]
+        c0 = jnp.cos(bth)
+        s0 = jnp.sin(bth)
+        # Transform + bin at the binding pose (ops/geometry.py:cell_coords).
+        rx = px * c0 - py * s0  # [1, N]
+        ry = px * s0 + py * c0
+        qx = rx + bx
+        qy = ry + by
+        inb = (qx > -half) & (qx < half) & (qy > -half) & (qy < half)
+        ix = jnp.floor((qx + half) * inv_cell).astype(jnp.int32)
+        iy = jnp.floor((qy + half) * inv_cell).astype(jnp.int32)
+        di = ix - ax
+        dj = iy - ay
+        in_st = (jnp.abs(di) <= radius) & (jnp.abs(dj) <= radius)
+        kk = (dj + radius) * side + (di + radius)
+        # One-hot stencil select: 25 FMAs over the [8, N] per-offset table.
+        acc = jnp.zeros((8, n_pts), f32)
+        for k in range(k2):
+            sel = ((kk == k) & in_st).astype(f32)  # [1, N]
+            acc = acc + sel * sten_ref[0, k]
+        mx, my = acc[0:1], acc[1:2]
+        la, lb, lc = acc[2:3], acc[3:4], acc[4:5]
+        built = acc[5:6]
+        mask = built * inb.astype(f32) * vmask  # [1, N] in {0, 1}
+        # Quadratic-form coefficients (models/cost.py:_quadform_bound).
+        gx = rx + bx - mx
+        gy = ry + by - my
+        one = jnp.ones_like(gx)
+        zero = jnp.zeros_like(gx)
+        brx = (rx, -ry, one, zero, gx)  # B-matrix x rows, each [1, N]
+        bry = (ry, rx, zero, one, gy)
+        lbx = tuple(la * brx[a] + lb * bry[a] for a in range(5))
+        lby = tuple(lb * brx[a] + lc * bry[a] for a in range(5))
+        w_rows = []
+        for a, b in _IJ:
+            m_ab = brx[a] * lbx[b] + bry[a] * lby[b]
+            w_rows.append(m_ab if a == b else 2.0 * m_ab)
+        # Fold the mask into the constant monomial (u4*u4 == 1, row 14):
+        # masked points get z = BIG -> score exp(-BIG/2) == 0 exactly.
+        w_rows = [w * mask for w in w_rows]
+        w_rows[14] = w_rows[14] + (1.0 - mask) * f32(_BIG)
+        w_rows.append(jnp.zeros_like(gx))  # pad feature 15
+        wmat = jnp.concatenate(w_rows, axis=0)  # [16, N]
+        # Monomial features of poses relative to the binding pose.
+        dth = pos8[2:3, :] - bth  # [1, P]
+        u = (
+            jnp.cos(dth) - 1.0,
+            jnp.sin(dth),
+            pos8[0:1, :] - bx,
+            pos8[1:2, :] - by,
+            jnp.ones_like(dth),
+        )
+        phi_rows = [u[a] * u[b] for a, b in _IJ]
+        phi_rows.append(jnp.zeros_like(dth))
+        phimat = jnp.concatenate(phi_rows, axis=0)  # [16, P]
+        z = jax.lax.dot_general(
+            wmat, phimat, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [N, P]
+        s = jnp.exp(-0.5 * jnp.maximum(z, 0.0))
+        return -jnp.sum(s, axis=0, keepdims=True)  # [1, P]
+
+    # --- init (core.cpp:53-69 semantics, ops/rng.py counters) ---
+    # gbest seed: counters k = row (same for every lane -> broadcast draws).
+    u_g, _ = _uniform_pairs(k0, k1, row8p.astype(_U32))
+    g_pos = guess8 + (2.0 * u_g - 1.0) * zdev8  # [8, P], lanes identical
+    u_p, _ = _uniform_pairs(k0, k1, _U32(3) + ctr_base)
+    pos = guess8 + (2.0 * u_p - 1.0) * dev8  # [8, P]
+    # This Mosaic toolchain crashes ("limits <= dim") when relayouting values
+    # reduced/extracted from lane-REPLICATED vectors, which the seed pose is
+    # (its draw counters vary only by row).  Workaround: mix the seed into
+    # lane 0 of the non-uniform population array, score that, and extract
+    # lane 0 by one-hot reduction — the layout the compiler handles.
+    gmix = jnp.where(col8p == 0, g_pos, pos)
+    cost = score(pos, guess8)  # [1, P]
+    cmix = score(gmix, guess8)
+    oh0 = (jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) == 0).astype(f32)
+    g_cost = jnp.sum(cmix * oh0, axis=1, keepdims=True)  # [1, 1]
+    g_pos1 = jnp.sum(gmix * oh0, axis=1, keepdims=True)  # [8, 1]
+    bc, bp = _select_min(cost, pos)
+    imp = bc < g_cost
+    gbest = jnp.where(imp, bp, g_pos1)  # [8, 1]
+    gcost = jnp.where(imp, bc, g_cost)  # [1, 1]
+
+    c1 = f32(cfg.c1)
+    c2 = f32(cfg.c2)
+    iter_base = _U32(3 + 3 * p)
+    iter_stride = _U32(3 * p)
+
+    def body(i, carry):
+        pos, vel, pbest, pbest_cost, gbest, gcost, w = carry
+        ctr = iter_base + i.astype(_U32) * iter_stride + ctr_base
+        r1, r2 = _uniform_pairs(k0, k1, ctr)
+        vel = w * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (gbest - pos)
+        pos = pos + vel
+        cost = score(pos, gbest)
+        better = cost < pbest_cost  # [1, P]
+        pbest = jnp.where(better, pos, pbest)
+        pbest_cost = jnp.where(better, cost, pbest_cost)
+        bc, bp = _select_min(pbest_cost, pbest)
+        gimp = bc < gcost
+        gbest = jnp.where(gimp, bp, gbest)
+        gcost = jnp.where(gimp, bc, gcost)
+        return pos, vel, pbest, pbest_cost, gbest, gcost, w * f32(cfg.w_damping)
+
+    init = (pos, jnp.zeros_like(pos), pos, cost, gbest, gcost, f32(cfg.w))
+    *_, gbest, gcost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
+
+    res_row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    res8 = jnp.where(res_row < 3, gbest, gcost)  # rows 3..7 = cost
+    out_ref[0] = jnp.broadcast_to(res8, (8, 128))
+
+
+def pack_rollout_inputs(nbr, points):
+    """Repack a NeighborhoodBind + points into the kernel's row layouts.
+
+    nbr fields are [N, K2, ...] (models/cost.py:bind_neighborhood); the kernel
+    wants lanes-on-N: stencil [K2, 8, N] and points [8, N].  Pure transposes,
+    run once per solve in XLA.
+    """
+    f32 = jnp.float32
+    n = points.shape[0]
+    mean = jnp.moveaxis(nbr.mean.astype(f32), 0, -1)  # [K2, 2, N]
+    icov = jnp.moveaxis(nbr.icov.astype(f32), 0, -1)  # [K2, 3, N]
+    built = jnp.moveaxis(nbr.built.astype(f32), 0, -1)[:, None, :]  # [K2, 1, N]
+    k2 = mean.shape[0]
+    sten = jnp.concatenate(
+        [mean, icov, built, jnp.zeros((k2, 2, n), f32)], axis=1
+    )  # [K2, 8, N]
+    pts = jnp.stack(
+        [
+            points[:, 0].astype(f32),
+            points[:, 1].astype(f32),
+            nbr.anchor_ix.astype(f32),
+            nbr.anchor_iy.astype(f32),
+            nbr.valid.astype(f32),
+            jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),
+        ],
+        axis=0,
+    )  # [8, N]
+    return sten, pts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "map_cfg", "radius", "interpret")
+)
+def pso_rollout(
+    keys: jnp.ndarray,  # [B, 2] uint32
+    guesses: jnp.ndarray,  # [B, 3] f32
+    deviations: jnp.ndarray,  # [B, 3] f32
+    sten: jnp.ndarray,  # [B, K2, 8, N] f32 (pack_rollout_inputs)
+    pts: jnp.ndarray,  # [B, 8, N] f32
+    cfg: PSOConfig,
+    map_cfg: MapConfig,
+    radius: int = 2,
+    interpret: bool = False,
+):
+    """B independent whole-solve PSO rollouts.  Returns (pose [B,3], cost [B])."""
+    b, k2, _, n = sten.shape
+    p = cfg.population
+    assert p % 128 == 0, f"population {p} must be lane-aligned (128)"
+    assert n % 128 == 0, f"padded beam count {n} must be lane-aligned (128)"
+    assert k2 == (2 * radius + 1) ** 2
+    kern = functools.partial(
+        _rollout_kernel,
+        cfg=cfg,
+        half=map_cfg.size_m / 2.0,
+        inv_cell=1.0 / map_cfg.cell_side_m,
+        radius=radius,
+        n_pts=n,
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 8, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, k2, 8, n), lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (cfg.iterations + 2) * p * n * 16,
+            bytes_accessed=4 * b * (k2 * 8 * n + 8 * n + 8 * 128),
+            transcendentals=b * (cfg.iterations + 2) * p * n,
+        ),
+    )(
+        keys.astype(jnp.uint32),
+        guesses.astype(jnp.float32),
+        deviations.astype(jnp.float32),
+        pts,
+        sten,
+    )
+    return out[:, 0:3, 0], out[:, 3, 0]

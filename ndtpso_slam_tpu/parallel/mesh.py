@@ -37,7 +37,7 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SOLVE_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-STENCIL_RADIUS = 2  # default ±cells covered by the 'fast_local' binding
+STENCIL_RADIUS = cost_mod.DEFAULT_STENCIL_RADIUS
 
 
 def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cost_mode):
@@ -64,6 +64,26 @@ def _solve_batch_impl(
     cost_mode, shared_map=False,
 ):
     snap_ax = None if shared_map else 0
+    if cost_mode == "rollout":
+        from ndtpso_slam_tpu.models.pso import PsoResult
+        from ndtpso_slam_tpu.ops.pallas_rollout import (
+            pack_rollout_inputs,
+            pso_rollout,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        nbrs = jax.vmap(
+            lambda g, s, p, v: cost_mod.bind_neighborhood(
+                g, s, p, v, map_cfg, radius=STENCIL_RADIUS
+            ),
+            in_axes=(0, snap_ax, 0, 0),
+        )(guesses, snaps, points, valid)
+        sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, points)
+        pose, cost = pso_rollout(
+            keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
+            radius=STENCIL_RADIUS, interpret=interpret,
+        )
+        return PsoResult(pose=pose.astype(guesses.dtype), cost=cost)
     if cost_mode in ("fast_fused", "fast_local_fused"):
         interpret = jax.default_backend() != "tpu"
         if cost_mode == "fast_local_fused":

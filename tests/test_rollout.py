@@ -1,0 +1,114 @@
+"""Whole-rollout Pallas PSO kernel vs the XLA solver (interpret mode on CPU).
+
+The rollout kernel re-implements, on-chip, the exact frozen pieces the XLA
+path uses: the Threefry draw protocol (ops/rng.py), the stencil rebind
+(models/cost.py:bind_points_local), and the synchronous-gbest PSO update
+(models/pso.py).  These tests pin each piece to its XLA counterpart."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ndtpso_slam_tpu import config as cfgm
+from ndtpso_slam_tpu.models import ndt_map
+from ndtpso_slam_tpu.ops import rng
+from ndtpso_slam_tpu.ops import pallas_rollout as pr
+from ndtpso_slam_tpu.parallel import mesh as mesh_mod
+
+MAP_CFG = cfgm.MapConfig(size_m=32.0, cell_side_m=1.0, window_slots=4)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rs = np.random.RandomState(0)
+    t = np.linspace(0, 2 * np.pi, 200, endpoint=False)
+    pts = np.stack([9 * np.cos(t), 6 * np.sin(t)], -1) + rs.normal(0, 0.05, (200, 2))
+    pts = pts.astype(np.float32)
+    state = ndt_map.init_map(MAP_CFG)
+    for _ in range(2):
+        state = ndt_map.add_points(
+            state, MAP_CFG, pts + rs.normal(0, 0.02, pts.shape).astype(np.float32),
+            np.ones(200, bool),
+        )
+        state = ndt_map.build(state, MAP_CFG)
+    return ndt_map.snapshot(state, MAP_CFG), pts
+
+
+def _batch(world, b, n_pad=256):
+    """Batch of solves with the point set padded to a lane-aligned N."""
+    snap, pts = world
+    n = pts.shape[0]
+    rs = np.random.RandomState(1)
+    keys = rs.randint(0, 2**31, (b, 2)).astype(np.uint32)
+    guesses = rs.uniform(-0.05, 0.05, (b, 3)).astype(np.float32)
+    devs = np.tile(np.float32([0.2, 0.2, 0.05]), (b, 1))
+    points = np.zeros((b, n_pad, 2), np.float32)
+    points[:, :n] = pts[None]
+    valid = np.zeros((b, n_pad), bool)
+    valid[:, :n] = True
+    snaps = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (b,) + (1,) * x.ndim), snap
+    )
+    return keys, guesses, devs, snaps, points, valid
+
+
+def test_threefry_kernel_matches_rng_protocol():
+    """The kernel's in-lined Threefry/uniform helpers are the plain-jnp
+    functions of ops/rng.py — bit-identical streams."""
+    key = (np.uint32(0xDEADBEEF), np.uint32(0x12345))
+    ctr = np.arange(4096, dtype=np.uint32).reshape(8, 512)
+    u0_ref, u1_ref = rng.uniform_pairs(key, ctr)
+    u0_k, u1_k = pr._uniform_pairs(
+        jnp.uint32(key[0]), jnp.uint32(key[1]), jnp.asarray(ctr)
+    )
+    np.testing.assert_array_equal(np.asarray(u0_ref), np.asarray(u0_k))
+    np.testing.assert_array_equal(np.asarray(u1_ref), np.asarray(u1_k))
+
+
+def test_rollout_matches_fast_local(world):
+    """rollout (whole solve in one Pallas kernel) == fast_local (XLA loop,
+    same stencil semantics, same Threefry streams) up to reduction order."""
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=4)
+    cfg = cfgm.PSOConfig(iterations=10, population=128)
+    r_ref = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "fast_local"
+    )
+    r_roll = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "rollout"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref.cost), np.asarray(r_roll.cost), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref.pose), np.asarray(r_roll.pose), atol=5e-3
+    )
+
+
+def test_rollout_converges_to_truth(world):
+    """End-to-end: rollout solves recover a known SE(2) offset."""
+    snap, pts = world
+    true = np.float32([0.15, -0.1, 0.04])
+    c, s = np.cos(true[2]), np.sin(true[2])
+    moved = np.stack(
+        [pts[:, 0] * c - pts[:, 1] * s + true[0],
+         pts[:, 0] * s + pts[:, 1] * c + true[1]], -1
+    ).astype(np.float32)
+    # Solve for the pose that maps `moved` back onto the map built at identity
+    # => expected pose = inverse of `true` applied... the solver finds the pose
+    # minimizing cost of transform(moved_inv_points); use the standard setup:
+    # query points are the world seen from `true`, so align() should return
+    # ~`-true`-composed... simplest: transform by -true recovers pts, so the
+    # optimum pose p satisfies R(p)·q + t = map points with q = R(true)·pts +
+    # t_true; p = inverse(true).
+    inv = np.float32([-(true[0] * c + true[1] * s),
+                      true[0] * s - true[1] * c, -true[2]])
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=2)
+    points[:, :200] = moved[None]
+    cfg = cfgm.PSOConfig(iterations=20, population=256)
+    res = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "rollout"
+    )
+    pose = np.asarray(res.pose)
+    assert np.abs(pose[:, :2] - inv[None, :2]).max() < 0.05
+    assert np.abs(pose[:, 2] - inv[2]).max() < 0.02
