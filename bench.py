@@ -289,19 +289,14 @@ def bench_multiswarm(args):
     snap, q, keys, hypo = jax.device_put((snap, q, keys, hypo), dev)
     log(f"setup {time.time()-t0:.1f}s; K={k_swarms} P={args.particles} I={args.iters}")
 
-    if args.mode == "exact":
-        cost_fn = lambda poses, bind: cost_mod.bound_cost(
-            poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
-        )
-    else:
-        # Swarms bind at exchanged global bests that can be far from any one
-        # swarm's hypothesis, so the stencil binding doesn't apply — but the
-        # fused Pallas scoring kernel does: all K*P poses score as one B=1
-        # grid, the [K*P, N] score matrix never touching HBM.
-        def cost_fn(poses, bind):
-            bound = cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
-            batched = jax.tree_util.tree_map(lambda x: x[None], bound)
-            return cost_mod.bound_cost_fused(poses[None], batched)[0]
+    # Swarms bind at exchanged global bests that can be far from any one
+    # swarm's hypothesis, so the stencil binding doesn't apply here.  The
+    # fused Pallas scoring kernel was measured SLOWER than XLA at this B=1,
+    # K*P=65k shape (81.7 vs 96.5 relocs/s) — XLA already keeps this single
+    # big matmul chain efficient — so the XLA path stays.
+    cost_fn = lambda poses, bind: cost_mod.bound_cost(
+        poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
+    )
     run = jax.jit(lambda k, h: multi_swarm_solve(
         k, h, jnp.float32([0.6, 0.6, 0.1]), cost_fn, pso_cfg, exchange_every=5
     ))

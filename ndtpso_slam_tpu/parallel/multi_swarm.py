@@ -63,11 +63,13 @@ def multi_swarm_solve(
     u_p = jax.vmap(lambda key: rng.uniform_pairs((key[0], key[1]), p_ctr, dtype)[0])(keys)
     pos = guesses[:, None, :] + (2.0 * u_p - 1.0) * deviation  # [K, P, 3]
 
-    flat_cost = lambda poses, bind: cost_fn(poses.reshape(-1, 3), bind).reshape(
-        poses.shape[:-1]
-    )
-    g_cost = flat_cost(g_pos, guesses[0])  # [K]
-    cost = flat_cost(pos, guesses[0])  # [K, P]
+    # Each swarm binds the frozen-correspondence cost at its OWN incumbent:
+    # swarms explore different basins (relocalization hypotheses), and a
+    # quadratic re-linearized around another swarm's pose scores garbage
+    # outside its trust region.  The exact cost ignores the bind argument.
+    per_swarm_cost = jax.vmap(cost_fn)  # poses [K,P,3], binds [K,3] -> [K,P]
+    g_cost = per_swarm_cost(g_pos[:, None, :], guesses)[:, 0]  # [K]
+    cost = per_swarm_cost(pos, guesses)  # [K, P]
     bi = jnp.argmin(cost, axis=1)
     binit = jnp.take_along_axis(cost, bi[:, None], axis=1)[:, 0]
     improved = binit < g_cost
@@ -91,10 +93,7 @@ def multi_swarm_solve(
             + c2 * r2 * (gbest[:, None, :] - pos)
         )
         pos = pos + vel
-        # Bind at the currently best swarm's best (frozen-correspondence
-        # costs re-linearize around the incumbent).
-        bind_pose, _ = _global_merge(gbest, gbest_cost, None)
-        cost = flat_cost(pos, bind_pose)
+        cost = per_swarm_cost(pos, gbest)  # bind at each swarm's own best
         better = cost < pbest_cost
         pbest = jnp.where(better[..., None], pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
