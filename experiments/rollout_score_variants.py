@@ -47,7 +47,9 @@ def make_kernel(variant):
             c = -jnp.sum(s, axis=0, keepdims=True)  # [1, P]
             return carry + jnp.min(c) * 0.0
 
-        out_ref[0, 0] = jax.lax.fori_loop(0, I, body, jnp.float32(0.0))
+        out_ref[...] = jnp.broadcast_to(
+            jax.lax.fori_loop(0, I, body, jnp.float32(0.0)), (1, 8, 128)
+        )
 
     return kernel
 
@@ -59,7 +61,7 @@ def build(variant):
     def run(phit, w):
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
             grid_spec=pl.GridSpec(
                 grid=(B,),
                 in_specs=[
@@ -68,8 +70,8 @@ def build(variant):
                     pl.BlockSpec((1, FDIM, P), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
-                out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                       memory_space=pltpu.SMEM),
+                out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
             ),
         )(w, phit)
 
@@ -93,7 +95,7 @@ def main():
         jax.block_until_ready(r[-1])
         dt = (time.time() - t0) / 3
         print(f"{name}: {dt*1e3:.2f} ms / {I} iters = "
-              f"{dt/I*1e6:.1f} us/iter  (sum0={float(np.asarray(out)[0,0]):.3f})",
+              f"{dt/I*1e6:.1f} us/iter  (sum0={float(np.asarray(out)[0,0,0]):.3f})",
               file=sys.stderr)
 
 
