@@ -1,8 +1,11 @@
 """Headline benchmark: batched scan-match solves/s per chip.
 
 Workload = BASELINE.json metric: independent SE(2) scan-match solves at 4096
-particles x 50 PSO iterations (fast MXU cost), each solve a 360-beam scan
-registered against its own prebuilt NDT map with a known ground-truth offset.
+particles x 50 PSO iterations, each solve a 360-beam scan registered against
+its own prebuilt NDT map with a known ground-truth offset.  Default mode is
+the whole-rollout Pallas kernel with the hardware PRNG (`rollout_turbo`);
+`rollout` uses the parity-frozen Threefry stream that bit-matches the C++
+golden, `fast*` are the XLA-loop paths.
 North star: 10,000 solves/s on a v5e-16 => 625 solves/s/chip; vs_baseline is
 measured solves/s/chip divided by that share.
 
@@ -25,16 +28,17 @@ def log(*a):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--particles", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--beams", type=int, default=360)
     ap.add_argument("--pad-beams", type=int, default=384)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument(
-        "--mode", default="fast_local_fused",
+        "--mode", default="rollout_turbo",
         choices=["fast", "fast_fused", "fast_local", "fast_local_fused",
-                 "rollout", "exact"],
+                 "rollout", "rollout_bf16", "rollout_turbo", "rollout_turbo_bf16",
+                 "exact"],
     )
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
@@ -194,8 +198,7 @@ def bench_slam(args):
         og=cfgm.OccupancyGridConfig(enabled=False),
         cost_mode=(
             "exact" if args.mode == "exact"
-            else "fast_local" if args.mode in ("fast_local", "fast_local_fused",
-                                               "rollout")
+            else "fast_local" if args.mode.startswith(("fast_local", "rollout"))
             else "fast"
         ),
     )

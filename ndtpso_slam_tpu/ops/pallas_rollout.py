@@ -117,6 +117,7 @@ def _rollout_kernel(
     radius: int,
     n_pts: int,
     score_dtype=jnp.float32,
+    native_rng: bool = False,
 ):
     p = cfg.population
     side = 2 * radius + 1
@@ -126,6 +127,24 @@ def _rollout_kernel(
     bi = pl.program_id(0)
     k0 = keys_ref[bi, 0]
     k1 = keys_ref[bi, 1]
+
+    if native_rng:
+        # Turbo path: the TPU's hardware PRNG replaces the parity-frozen
+        # Threefry stream (the solve is still deterministic per key — the
+        # hardware generator is a seeded counter).  Threefry is ~20 uint32
+        # rounds per draw on the VPU and measured as a large slice of the
+        # per-iteration time; the native generator is effectively free.
+        pltpu.prng_seed(k0, k1)
+
+        def _native_uniform_pair(shape):
+            def draw():
+                bits = pltpu.bitcast(pltpu.prng_random_bits(shape), _U32)
+                return (
+                    (bits >> _U32(8)).astype(jnp.int32).astype(jnp.float32)
+                    * jnp.float32(_U01)
+                )
+
+            return draw(), draw()
 
     px = pts_ref[0, 0:1, :]  # [1, N]
     py = pts_ref[0, 1:2, :]
@@ -227,10 +246,15 @@ def _rollout_kernel(
         return -jnp.sum(s, axis=0, keepdims=True)  # [1, P]
 
     # --- init (core.cpp:53-69 semantics, ops/rng.py counters) ---
-    # gbest seed: counters k = row (same for every lane -> broadcast draws).
-    u_g, _ = _uniform_pairs(k0, k1, row8p.astype(_U32))
-    g_pos = guess8 + (2.0 * u_g - 1.0) * zdev8  # [8, P], lanes identical
-    u_p, _ = _uniform_pairs(k0, k1, _U32(3) + ctr_base)
+    if native_rng:
+        # Only lane 0 of g_pos is ever read (mixed into gmix below), so the
+        # draw need not be lane-replicated.
+        u_g, u_p = _native_uniform_pair((8, p))
+    else:
+        # gbest seed: counters k = row (same for every lane -> broadcast).
+        u_g, _ = _uniform_pairs(k0, k1, row8p.astype(_U32))
+        u_p, _ = _uniform_pairs(k0, k1, _U32(3) + ctr_base)
+    g_pos = guess8 + (2.0 * u_g - 1.0) * zdev8  # [8, P]
     pos = guess8 + (2.0 * u_p - 1.0) * dev8  # [8, P]
     # This Mosaic toolchain crashes ("limits <= dim") when relayouting values
     # reduced/extracted from lane-REPLICATED vectors, which the seed pose is
@@ -255,8 +279,11 @@ def _rollout_kernel(
 
     def body(i, carry):
         pos, vel, pbest, pbest_cost, gbest, gcost, w = carry
-        ctr = iter_base + i.astype(_U32) * iter_stride + ctr_base
-        r1, r2 = _uniform_pairs(k0, k1, ctr)
+        if native_rng:
+            r1, r2 = _native_uniform_pair((8, p))
+        else:
+            ctr = iter_base + i.astype(_U32) * iter_stride + ctr_base
+            r1, r2 = _uniform_pairs(k0, k1, ctr)
         vel = w * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (gbest - pos)
         pos = pos + vel
         cost = score(pos, gbest)
@@ -311,7 +338,9 @@ def pack_rollout_inputs(nbr, points):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "map_cfg", "radius", "interpret", "score_dtype"),
+    static_argnames=(
+        "cfg", "map_cfg", "radius", "interpret", "score_dtype", "rng_mode"
+    ),
 )
 def pso_rollout(
     keys: jnp.ndarray,  # [B, 2] uint32
@@ -324,12 +353,18 @@ def pso_rollout(
     radius: int = 2,
     interpret: bool = False,
     score_dtype: str = "f32",
+    rng_mode: str = "threefry",
 ):
     """B independent whole-solve PSO rollouts.  Returns (pose [B,3], cost [B]).
 
     ``score_dtype='bf16'`` runs the [16,N]x[16,P] scoring matmul with bf16
     operands (f32 accumulate) — ~4x MXU rate, cost perturbation O(0.4%)
-    relative; the f32 path is the bit-parity one."""
+    relative; the f32 path is the bit-parity one.
+
+    ``rng_mode='native'`` (turbo) replaces the parity-frozen Threefry-2x32
+    draws with the TPU's hardware PRNG (seeded per solve from the key, still
+    deterministic): same PSO distribution, not the same stream as the C++
+    golden — use for serving throughput, not for parity gates."""
     b, k2, _, n = sten.shape
     p = cfg.population
     assert p % 128 == 0, f"population {p} must be lane-aligned (128)"
@@ -343,6 +378,7 @@ def pso_rollout(
         radius=radius,
         n_pts=n,
         score_dtype=jnp.bfloat16 if score_dtype == "bf16" else jnp.float32,
+        native_rng=rng_mode == "native",
     )
     out = pl.pallas_call(
         kern,

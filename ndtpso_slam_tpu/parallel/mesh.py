@@ -64,7 +64,7 @@ def _solve_batch_impl(
     cost_mode, shared_map=False,
 ):
     snap_ax = None if shared_map else 0
-    if cost_mode == "rollout":
+    if cost_mode.startswith("rollout"):
         from ndtpso_slam_tpu.models.pso import PsoResult
         from ndtpso_slam_tpu.ops.pallas_rollout import (
             pack_rollout_inputs,
@@ -82,6 +82,8 @@ def _solve_batch_impl(
         pose, cost = pso_rollout(
             keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
             radius=STENCIL_RADIUS, interpret=interpret,
+            score_dtype="bf16" if "bf16" in cost_mode else "f32",
+            rng_mode="native" if "turbo" in cost_mode else "threefry",
         )
         return PsoResult(pose=pose.astype(guesses.dtype), cost=cost)
     if cost_mode in ("fast_fused", "fast_local_fused"):

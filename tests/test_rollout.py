@@ -112,3 +112,51 @@ def test_rollout_converges_to_truth(world):
     pose = np.asarray(res.pose)
     assert np.abs(pose[:, :2] - inv[None, :2]).max() < 0.05
     assert np.abs(pose[:, 2] - inv[2]).max() < 0.02
+
+
+def test_rollout_bf16_close_to_f32(world):
+    """bf16 scoring operands perturb the cost O(0.4%) but the solve must land
+    on the same pose basin (identical Threefry streams as f32)."""
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=2)
+    cfg = cfgm.PSOConfig(iterations=10, population=128)
+    r_f32 = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "rollout"
+    )
+    r_bf16 = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "rollout_bf16"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_f32.cost), np.asarray(r_bf16.cost), rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_f32.pose), np.asarray(r_bf16.pose), atol=5e-2
+    )
+
+
+def test_rollout_turbo_converges_to_truth(world):
+    """Turbo mode (hardware PRNG, not the parity Threefry stream) still
+    recovers a known SE(2) offset — distribution-level equivalence."""
+    snap, pts = world
+    true = np.float32([0.15, -0.1, 0.04])
+    c, s = np.cos(true[2]), np.sin(true[2])
+    moved = np.stack(
+        [pts[:, 0] * c - pts[:, 1] * s + true[0],
+         pts[:, 0] * s + pts[:, 1] * c + true[1]], -1
+    ).astype(np.float32)
+    inv = np.float32([-(true[0] * c + true[1] * s),
+                      true[0] * s - true[1] * c, -true[2]])
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=2)
+    points[:, :200] = moved[None]
+    cfg = cfgm.PSOConfig(iterations=20, population=256)
+    try:
+        res = mesh_mod.solve_batch(
+            keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg,
+            "rollout_turbo",
+        )
+    except Exception as e:  # pragma: no cover - interpret-mode PRNG support
+        if "prng" in str(e).lower() or "not implemented" in str(e).lower():
+            pytest.skip(f"native PRNG unsupported in interpret mode: {e}")
+        raise
+    pose = np.asarray(res.pose)
+    assert np.abs(pose[:, :2] - inv[None, :2]).max() < 0.05
+    assert np.abs(pose[:, 2] - inv[2]).max() < 0.02
