@@ -46,6 +46,16 @@ def main():
         help="BASELINE workload: batch solves (2), sequential SLAM (3), "
         "multi-swarm relocalization (4)",
     )
+    ap.add_argument("--og", action="store_true",
+                    help="slam config: build the occupancy grid raster")
+    ap.add_argument("--full-scale", action="store_true",
+                    help="slam config: reference deployment scale "
+                    "(300 m frame, 0.5 m cells, 100-slot window, 0.1 m OG)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="batch config: shard solves over all visible devices "
+                    "(reports aggregate solves/s and per-device efficiency)")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="with --sharded: use only the first N devices")
     args = ap.parse_args()
 
     if args.config == "slam":
@@ -133,10 +143,21 @@ def main():
     log(f"setup {time.time()-t0:.1f}s; B={b} P={args.particles} I={args.iters} "
         f"N={args.pad_beams} cells={snap1.mean.shape[0]}")
 
-    run = lambda: mesh_mod.solve_batch(
-        keys, guesses, deviations, snaps, q_pts, q_valid,
-        map_cfg, pso_cfg, cost_mode=args.mode,
-    )
+    n_dev = 1
+    if args.sharded:
+        n_dev = args.devices or len(jax.devices())
+        assert b % n_dev == 0, f"--batch {b} must divide over {n_dev} devices"
+        smesh = mesh_mod.make_mesh(n_dev)
+        solver = mesh_mod.make_sharded_solver(
+            smesh, map_cfg, pso_cfg, cost_mode=args.mode
+        )
+        log(f"sharded over {n_dev} devices ({b // n_dev} solves/device)")
+        run = lambda: solver(keys, guesses, deviations, snaps, q_pts, q_valid)
+    else:
+        run = lambda: mesh_mod.solve_batch(
+            keys, guesses, deviations, snaps, q_pts, q_valid,
+            map_cfg, pso_cfg, cost_mode=args.mode,
+        )
 
     t0 = time.time()
     res = run()
@@ -146,6 +167,12 @@ def main():
     err = np.abs(np.asarray(res.pose) - true_offsets)
     log(f"pose err vs truth: median xy {np.median(err[:, :2]):.4f} m, "
         f"median th {np.median(err[:, 2]):.5f} rad, max xy {err[:, :2].max():.4f}")
+    # Accuracy gate: a kernel regression that wrecks the solve must fail the
+    # bench, not print a healthy throughput headline.
+    assert np.median(err[:, :2]) < 0.05 and np.median(err[:, 2]) < 0.01, (
+        f"solve accuracy regressed: median xy {np.median(err[:, :2]):.4f} m, "
+        f"median th {np.median(err[:, 2]):.5f} rad"
+    )
 
     # Throughput protocol: enqueue all reps, block on the last.  Per-call
     # blocking would charge the host->device dispatch overhead (tens of ms
@@ -159,19 +186,29 @@ def main():
     jax.block_until_ready(outs[-1])
     total = time.time() - t0
     solves_per_s = b * args.reps / total
-    log(f"{args.reps} reps in {total:.3f}s -> {solves_per_s:.1f} solves/s/chip")
-
-    baseline_share = 625.0  # 10k/s north star / 16 chips
+    if args.sharded:
+        log(f"{args.reps} reps in {total:.3f}s -> {solves_per_s:.1f} solves/s "
+            f"aggregate over {n_dev} devices "
+            f"({solves_per_s / n_dev:.1f} solves/s/device)")
+        metric = (
+            f"scan_match_solves_per_s_{args.particles}p_{args.iters}i_"
+            f"{args.mode}_sharded{n_dev}dev"
+        )
+        baseline = 625.0 * n_dev  # north-star per-chip share x devices
+    else:
+        log(f"{args.reps} reps in {total:.3f}s -> {solves_per_s:.1f} solves/s/chip")
+        metric = (
+            f"scan_match_solves_per_s_per_chip_"
+            f"{args.particles}p_{args.iters}i_{args.mode}"
+        )
+        baseline = 625.0  # 10k/s north star / 16 chips
     print(
         json.dumps(
             {
-                "metric": (
-                    f"scan_match_solves_per_s_per_chip_"
-                    f"{args.particles}p_{args.iters}i_{args.mode}"
-                ),
+                "metric": metric,
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / baseline_share, 4),
+                "vs_baseline": round(solves_per_s / baseline, 4),
             }
         )
     )
@@ -191,15 +228,22 @@ def bench_slam(args):
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
+    if args.full_scale:
+        # Reference deployment scale (`launch/scan.launch:10-16`,
+        # `ndtpso_slam_node.hpp:25-34`, `config.h:8`): 300 m frame, 0.5 m
+        # cells (360k cells), 100-slot window, 0.1 m occupancy grid.
+        map_cfg = cfgm.MapConfig(size_m=300.0, cell_side_m=0.5, window_slots=100)
+    else:
+        map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
     cfg = cfgm.SlamConfig(
         pso=cfgm.PSOConfig(iterations=30, population=max(args.particles, 50)),
-        map=cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8),
+        map=map_cfg,
         scan=cfgm.ScanConfig(max_beams=args.pad_beams),
-        og=cfgm.OccupancyGridConfig(enabled=False),
+        og=cfgm.OccupancyGridConfig(enabled=args.og),
         cost_mode=(
-            "exact" if args.mode == "exact"
-            else "fast_local" if args.mode.startswith(("fast_local", "rollout"))
-            else "fast"
+            "fast" if args.mode in ("fast", "fast_fused")
+            else "fast_local" if args.mode == "fast_local_fused"
+            else args.mode
         ),
     )
     t0 = time.time()
@@ -231,6 +275,10 @@ def bench_slam(args):
     p = np.asarray(poses)  # drain
     err = np.hypot(p[:, 0] - lg.poses[:, 0], p[:, 1] - lg.poses[:, 1])
     log(f"traj err: mean {err.mean():.4f} m, max {err.max():.4f} m")
+    assert err.mean() < 0.1 and err.max() < 0.5, (
+        f"SLAM trajectory accuracy regressed: mean {err.mean():.4f} m, "
+        f"max {err.max():.4f} m"
+    )
 
     jax.block_until_ready(run()[1])
     t0 = time.time()
@@ -239,8 +287,13 @@ def bench_slam(args):
     total = time.time() - t0
     scans_per_s = n_scans * args.reps / total
     log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s (LiDAR rate 10 Hz)")
+    scale = "_fullscale" if args.full_scale else ""
+    og = "_og" if args.og else ""
     print(json.dumps({
-        "metric": f"sequential_slam_scans_per_s_{cfg.pso.population}p_{cfg.pso.iterations}i",
+        "metric": (
+            f"sequential_slam_scans_per_s_{cfg.pso.population}p_"
+            f"{cfg.pso.iterations}i_{cfg.cost_mode}{scale}{og}"
+        ),
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / 10.0, 4),
@@ -310,6 +363,10 @@ def bench_multiswarm(args):
     pose = np.asarray(res.pose)  # drain
     log(f"relocalized pose {pose.round(4)} vs true {true.round(4)} "
         f"(err {np.abs(pose - true).round(4)})")
+    perr = np.abs(pose - true)
+    assert perr[:2].max() < 0.1 and perr[2] < 0.02, (
+        f"relocalization accuracy regressed: err {perr.round(4)}"
+    )
 
     jax.block_until_ready(run(keys, hypo))
     t0 = time.time()

@@ -121,7 +121,10 @@ class SlamConfig:
     # align() widens the search to twice the last inter-scan motion
     # (ndtframe.cpp:253).
     deviation_scale: float = 2.0
-    # 'fast' = frozen-correspondence MXU cost, 'exact' = reference gather cost.
+    # 'exact' = reference gather cost; 'fast' = frozen-correspondence MXU
+    # cost; 'fast_local' = gather-free stencil rebind; 'rollout[_bf16]
+    # [_turbo]' = whole-solve Pallas kernel (population and padded beam count
+    # must be multiples of 128).  See models/slam.py:SLAM_COST_MODES.
     cost_mode: str = "exact"
     dtype: object = jnp.float32
 

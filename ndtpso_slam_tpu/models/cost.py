@@ -26,8 +26,10 @@ the cell's unnormalized Gaussian score.  Two TPU formulations live here:
   Freezing correspondences for one iteration is the classic NDT/ICP move (the
   cost landscape is re-linearized around the incumbent); near convergence the
   binding is self-consistent and the optimum agrees with the exact cost — the
-  parity suite checks this statistically, and `pso` re-scores the final pose
-  with the exact cost.
+  parity suite checks this statistically.  `pso_solve` itself reports the
+  cost under the final frozen binding; the SLAM loop (`models/slam.py:align`)
+  re-scores the returned pose with :func:`ndt_cost` so downstream consumers
+  of the per-scan cost always see the exact value.
 """
 
 from __future__ import annotations

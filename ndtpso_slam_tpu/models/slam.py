@@ -67,6 +67,12 @@ def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
     )
 
 
+SLAM_COST_MODES = (
+    "exact", "fast", "fast_local",
+    "rollout", "rollout_bf16", "rollout_turbo", "rollout_turbo_bf16",
+)
+
+
 def make_cost_fn(
     snap: ndt_map.MapSnapshot, scan: Scan, cfg: SlamConfig, guess=None
 ):
@@ -91,7 +97,44 @@ def make_cost_fn(
         return lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points_local(bind, nbr, scan.points, cfg.map)
         )
-    raise ValueError(f"unknown cost_mode: {cfg.cost_mode}")
+    raise ValueError(
+        f"unknown cost_mode: {cfg.cost_mode}; expected one of {SLAM_COST_MODES}"
+    )
+
+
+def _align_rollout(key, guess, deviation, snap, scan, cfg: SlamConfig) -> PsoResult:
+    """One B=1 solve through the whole-rollout Pallas kernel
+    (ops/pallas_rollout.py) — the headline single-solve path, now usable by
+    the sequential SLAM loop (the workload the reference actually runs,
+    `scan.launch` at 10 Hz)."""
+    from ndtpso_slam_tpu.ops.pallas_rollout import pack_rollout_inputs, pso_rollout
+
+    p = cfg.pso.population
+    n = scan.points.shape[0]
+    if p % 128 != 0 or n % 128 != 0:
+        raise ValueError(
+            f"rollout cost modes need lane-aligned shapes: population {p} and "
+            f"padded beams {n} must be multiples of 128 "
+            "(use fast_local for the reference's 50-particle budget)"
+        )
+    nbr = cost_mod.bind_neighborhood(
+        guess, snap, scan.points, scan.valid, cfg.map,
+        radius=cost_mod.DEFAULT_STENCIL_RADIUS,
+    )
+    sten, pts = pack_rollout_inputs(nbr, scan.points)
+    keys = jnp.stack(
+        [jnp.asarray(key[0], jnp.uint32), jnp.asarray(key[1], jnp.uint32)]
+    )[None]
+    pose, c = pso_rollout(
+        keys, guess[None].astype(jnp.float32),
+        jnp.asarray(deviation, jnp.float32)[None],
+        sten[None], pts[None], cfg.pso, cfg.map,
+        radius=cost_mod.DEFAULT_STENCIL_RADIUS,
+        interpret=jax.default_backend() != "tpu",
+        score_dtype="bf16" if "bf16" in cfg.cost_mode else "f32",
+        rng_mode="native" if "turbo" in cfg.cost_mode else "threefry",
+    )
+    return PsoResult(pose=pose[0].astype(guess.dtype), cost=c[0])
 
 
 def align(
@@ -107,9 +150,20 @@ def align(
     first_dev = jnp.asarray(cfg.first_deviation, dtype)
     adaptive = jnp.abs(astate.pose_diff * jnp.asarray(cfg.deviation_scale, dtype))
     deviation = jnp.where(astate.iter < 2, first_dev, adaptive)
-    result = pso_solve(
-        key, guess, deviation, make_cost_fn(snap, scan, cfg, guess), cfg.pso
-    )
+    if cfg.cost_mode.startswith("rollout"):
+        result = _align_rollout(key, guess, deviation, snap, scan, cfg)
+    else:
+        result = pso_solve(
+            key, guess, deviation, make_cost_fn(snap, scan, cfg, guess), cfg.pso
+        )
+    if cfg.cost_mode != "exact":
+        # Fast modes report the cost under the final frozen binding; re-score
+        # the winning pose with the exact gather cost (one pose, one gather —
+        # negligible) so the per-scan cost is always the true NDT objective.
+        exact = cost_mod.ndt_cost(
+            result.pose[None, :], snap, scan.points, scan.valid, cfg.map
+        )[0]
+        result = PsoResult(pose=result.pose, cost=exact)
     new_astate = AlignState(
         prev_pose=result.pose,
         pose_diff=result.pose - astate.prev_pose,

@@ -256,11 +256,19 @@ def main(argv=None):
     ap.add_argument("--out", default=None, help="export basename")
     ap.add_argument("--checkpoint", help="save final SLAM state here (.npz)")
     ap.add_argument("--resume", help="restore SLAM state before running")
-    ap.add_argument("--cost-mode", choices=["fast", "exact"], default=None)
+    ap.add_argument(
+        "--cost-mode",
+        choices=list(slam.SLAM_COST_MODES),
+        default=None,
+        help="exact | fast | fast_local | rollout* (rollout modes need "
+        "population and --max-beams as multiples of 128)",
+    )
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--population", type=int, default=None)
     ap.add_argument("--frame-size", type=float, default=None)
     ap.add_argument("--cell-side", type=float, default=None)
+    ap.add_argument("--max-beams", type=int, default=None,
+                    help="padded beam count (static shape)")
     ap.add_argument("--og", action="store_true", help="build the occupancy grid")
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--seed", type=int, default=None)
@@ -273,6 +281,7 @@ def main(argv=None):
         pso_population=args.population,
         frame_size_m=args.frame_size,
         cell_side_m=args.cell_side,
+        max_beams=args.max_beams,
         seed=args.seed,
     )
     if args.og:

@@ -362,9 +362,13 @@ def pso_rollout(
     relative; the f32 path is the bit-parity one.
 
     ``rng_mode='native'`` (turbo) replaces the parity-frozen Threefry-2x32
-    draws with the TPU's hardware PRNG (seeded per solve from the key, still
-    deterministic): same PSO distribution, not the same stream as the C++
-    golden — use for serving throughput, not for parity gates."""
+    draws with the TPU's hardware PRNG (seeded per solve from the key):
+    same PSO distribution, not the same stream as the C++ golden.
+    Determinism caveat: the turbo stream is reproducible per key only for a
+    given TPU generation + Mosaic toolchain — the hardware generator's bit
+    stream is not a stable cross-version contract the way Threefry is.  Use
+    turbo for serving throughput; use 'rollout' (Threefry) for parity gates
+    and anything that must reproduce across upgrades."""
     b, k2, _, n = sten.shape
     p = cfg.population
     assert p % 128 == 0, f"population {p} must be lane-aligned (128)"

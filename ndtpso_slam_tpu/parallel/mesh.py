@@ -39,6 +39,24 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SOLVE_AXIS) -> Mesh:
 
 STENCIL_RADIUS = cost_mod.DEFAULT_STENCIL_RADIUS
 
+# Every batched cost/solver mode `_solve_batch_impl` dispatches on.  The
+# dispatch below uses prefix/substring checks, so an unknown string must be
+# rejected up front or a typo like 'rollout_brf16' would silently run a
+# different kernel.
+COST_MODES = frozenset(
+    {
+        "exact",
+        "fast",
+        "fast_local",
+        "fast_fused",
+        "fast_local_fused",
+        "rollout",
+        "rollout_bf16",
+        "rollout_turbo",
+        "rollout_turbo_bf16",
+    }
+)
+
 
 def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cost_mode):
     if cost_mode == "fast":
@@ -63,6 +81,10 @@ def _solve_batch_impl(
     keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg,
     cost_mode, shared_map=False,
 ):
+    if cost_mode not in COST_MODES:
+        raise ValueError(
+            f"unknown cost_mode {cost_mode!r}; expected one of {sorted(COST_MODES)}"
+        )
     snap_ax = None if shared_map else 0
     if cost_mode.startswith("rollout"):
         from ndtpso_slam_tpu.models.pso import PsoResult
@@ -144,24 +166,22 @@ def solve_batch(
     )
 
 
-def solve_batch_sharded(
+def make_sharded_solver(
     mesh: Mesh,
-    keys,
-    guesses,
-    deviations,
-    snaps: MapSnapshot,
-    points,
-    valid,
     map_cfg: MapConfig,
     pso_cfg: PSOConfig,
     cost_mode: str = "fast",
     shared_map: bool = False,
 ):
-    """Shard the solve batch over the mesh's solve axis.
+    """Build a jitted sharded solve-batch function over the mesh's solve axis.
 
-    With ``shared_map=True`` all solves read one replicated map snapshot
+    The returned function has signature
+    ``(keys, guesses, deviations, snaps, points, valid) -> PsoResult`` with
+    every per-solve array sharded over :data:`SOLVE_AXIS`.  With
+    ``shared_map=True`` all solves read one replicated map snapshot
     (multi-robot against a common map); otherwise each solve carries its own
-    stacked snapshot, sharded with the batch.
+    stacked snapshot, sharded with the batch.  Build it ONCE and reuse: each
+    call of a freshly-built solver recompiles.
     """
     snap_spec = (
         MapSnapshot(mean=P(), inv_cov=P(), built=P())
@@ -190,4 +210,24 @@ def solve_batch_sharded(
         ),
         out_specs=P(SOLVE_AXIS),
     )
-    return jax.jit(shmapped)(keys, guesses, deviations, snaps, points, valid)
+    return jax.jit(shmapped)
+
+
+def solve_batch_sharded(
+    mesh: Mesh,
+    keys,
+    guesses,
+    deviations,
+    snaps: MapSnapshot,
+    points,
+    valid,
+    map_cfg: MapConfig,
+    pso_cfg: PSOConfig,
+    cost_mode: str = "fast",
+    shared_map: bool = False,
+):
+    """One-shot convenience wrapper around :func:`make_sharded_solver`."""
+    solver = make_sharded_solver(
+        mesh, map_cfg, pso_cfg, cost_mode=cost_mode, shared_map=shared_map
+    )
+    return solver(keys, guesses, deviations, snaps, points, valid)

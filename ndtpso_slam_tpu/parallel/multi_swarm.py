@@ -22,20 +22,22 @@ import jax
 import jax.numpy as jnp
 
 from ndtpso_slam_tpu.config import PSOConfig, ZERO_DEVIATION
-from ndtpso_slam_tpu.models.pso import CostFn, PsoResult
+from ndtpso_slam_tpu.models.pso import CostFn, PsoResult, _select_min
 from ndtpso_slam_tpu.ops import rng
 
 
 def _global_merge(gbest, gbest_cost, axis_name):
     """Best (pose, cost) across the swarm axis [K] and optionally a mesh
-    axis. Returns broadcastable [3], []."""
-    bi = jnp.argmin(gbest_cost)
-    best_pose, best_cost = gbest[bi], gbest_cost[bi]
+    axis. Returns broadcastable [3], [].
+
+    Uses the gather-free one-hot reduction (`models/pso.py:_select_min`)
+    rather than ``argmin`` + indexing — dynamic gathers serialize on TPU.
+    """
+    best_cost, best_pose = _select_min(gbest_cost, gbest)
     if axis_name is not None:
         all_costs = jax.lax.all_gather(best_cost, axis_name)  # [D]
         all_poses = jax.lax.all_gather(best_pose, axis_name)  # [D, 3]
-        di = jnp.argmin(all_costs)
-        best_pose, best_cost = all_poses[di], all_costs[di]
+        best_cost, best_pose = _select_min(all_costs, all_poses)
     return best_pose, best_cost
 
 
@@ -70,12 +72,9 @@ def multi_swarm_solve(
     per_swarm_cost = jax.vmap(cost_fn)  # poses [K,P,3], binds [K,3] -> [K,P]
     g_cost = per_swarm_cost(g_pos[:, None, :], guesses)[:, 0]  # [K]
     cost = per_swarm_cost(pos, guesses)  # [K, P]
-    bi = jnp.argmin(cost, axis=1)
-    binit = jnp.take_along_axis(cost, bi[:, None], axis=1)[:, 0]
+    binit, bpos = _select_min(cost, pos)  # [K], [K, 3]
     improved = binit < g_cost
-    gbest = jnp.where(
-        improved[:, None], jnp.take_along_axis(pos, bi[:, None, None], axis=1)[:, 0], g_pos
-    )
+    gbest = jnp.where(improved[:, None], bpos, g_pos)
     gbest_cost = jnp.where(improved, binit, g_cost)
 
     c1 = jnp.asarray(cfg.c1, dtype)
@@ -97,9 +96,7 @@ def multi_swarm_solve(
         better = cost < pbest_cost
         pbest = jnp.where(better[..., None], pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
-        bi = jnp.argmin(pbest_cost, axis=1)
-        bc = jnp.take_along_axis(pbest_cost, bi[:, None], axis=1)[:, 0]
-        bp = jnp.take_along_axis(pbest, bi[:, None, None], axis=1)[:, 0]
+        bc, bp = _select_min(pbest_cost, pbest)  # [K], [K, 3]
         gimp = bc < gbest_cost
         gbest = jnp.where(gimp[:, None], bp, gbest)
         gbest_cost = jnp.where(gimp, bc, gbest_cost)

@@ -33,9 +33,18 @@ def save(path: str, state: Any) -> None:
 
 def restore(path: str, like: Any) -> Any:
     """Restore a pytree saved by :func:`save` into the structure of ``like``
-    (shape/dtype validated leaf by leaf)."""
+    (treedef validated against the saved one, then shape/dtype leaf by
+    leaf — a checkpoint from a *different pytree structure* whose leaf shapes
+    happen to match must not silently load)."""
     data = np.load(path)
     leaves, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in data:
+        saved_treedef = json.loads(bytes(data["__treedef__"]).decode())
+        if saved_treedef != str(treedef):
+            raise ValueError(
+                "checkpoint pytree structure does not match the restoring "
+                f"state:\n  saved:    {saved_treedef}\n  expected: {treedef}"
+            )
     restored = []
     for i, ref in enumerate(leaves):
         arr = data[_leaf_key(i)]

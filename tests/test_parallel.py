@@ -199,3 +199,14 @@ def test_batch_solver_matches_vmap_solver(world):
     np.testing.assert_allclose(
         np.asarray(r_vmap.cost), np.asarray(r_batch.cost), rtol=1e-5
     )
+
+
+def test_solve_batch_rejects_unknown_cost_mode(world):
+    """Typos like 'rollout_brf16' must error, not silently run another
+    kernel (ADVICE r1)."""
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=2)
+    with pytest.raises(ValueError, match="unknown cost_mode"):
+        mesh_mod.solve_batch(
+            keys, guesses, devs, snaps, points, valid, MAP_CFG,
+            cfgm.PSOConfig(iterations=2, population=32), "rollout_brf16",
+        )

@@ -136,6 +136,14 @@ def test_rollout_bf16_close_to_f32(world):
 def test_rollout_turbo_converges_to_truth(world):
     """Turbo mode (hardware PRNG, not the parity Threefry stream) still
     recovers a known SE(2) offset — distribution-level equivalence."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # The hardware PRNG has no interpret-mode implementation; skip
+        # up-front rather than string-matching the raised exception (which
+        # would break on reworded errors in future JAX versions).  The turbo
+        # path IS exercised on real TPUs by bench.py (default mode).
+        pytest.skip("rollout_turbo needs the TPU hardware PRNG")
     snap, pts = world
     true = np.float32([0.15, -0.1, 0.04])
     c, s = np.cos(true[2]), np.sin(true[2])
@@ -148,15 +156,10 @@ def test_rollout_turbo_converges_to_truth(world):
     keys, guesses, devs, snaps, points, valid = _batch(world, b=2)
     points[:, :200] = moved[None]
     cfg = cfgm.PSOConfig(iterations=20, population=256)
-    try:
-        res = mesh_mod.solve_batch(
-            keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg,
-            "rollout_turbo",
-        )
-    except Exception as e:  # pragma: no cover - interpret-mode PRNG support
-        if "prng" in str(e).lower() or "not implemented" in str(e).lower():
-            pytest.skip(f"native PRNG unsupported in interpret mode: {e}")
-        raise
+    res = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg,
+        "rollout_turbo",
+    )
     pose = np.asarray(res.pose)
     assert np.abs(pose[:, :2] - inv[None, :2]).max() < 0.05
     assert np.abs(pose[:, 2] - inv[2]).max() < 0.02
