@@ -172,12 +172,15 @@ def make_sharded_solver(
     pso_cfg: PSOConfig,
     cost_mode: str = "fast",
     shared_map: bool = False,
+    axes=SOLVE_AXIS,
 ):
-    """Build a jitted sharded solve-batch function over the mesh's solve axis.
+    """Build a jitted sharded solve-batch function over the mesh's solve axes.
 
     The returned function has signature
     ``(keys, guesses, deviations, snaps, points, valid) -> PsoResult`` with
-    every per-solve array sharded over :data:`SOLVE_AXIS`.  With
+    every per-solve array sharded over ``axes`` — the flat
+    :data:`SOLVE_AXIS` by default, or a tuple like ``('hosts', 'chips')``
+    for the hierarchical DCN x ICI mesh (parallel/runtime.py).  With
     ``shared_map=True`` all solves read one replicated map snapshot
     (multi-robot against a common map); otherwise each solve carries its own
     stacked snapshot, sharded with the batch.  Build it ONCE and reuse: each
@@ -186,9 +189,7 @@ def make_sharded_solver(
     snap_spec = (
         MapSnapshot(mean=P(), inv_cov=P(), built=P())
         if shared_map
-        else MapSnapshot(
-            mean=P(SOLVE_AXIS), inv_cov=P(SOLVE_AXIS), built=P(SOLVE_AXIS)
-        )
+        else MapSnapshot(mean=P(axes), inv_cov=P(axes), built=P(axes))
     )
 
     def local(keys, guesses, deviations, snaps, points, valid):
@@ -201,14 +202,14 @@ def make_sharded_solver(
         local,
         mesh=mesh,
         in_specs=(
-            P(SOLVE_AXIS),
-            P(SOLVE_AXIS),
-            P(SOLVE_AXIS),
+            P(axes),
+            P(axes),
+            P(axes),
             snap_spec,
-            P(SOLVE_AXIS),
-            P(SOLVE_AXIS),
+            P(axes),
+            P(axes),
         ),
-        out_specs=P(SOLVE_AXIS),
+        out_specs=P(axes),
     )
     return jax.jit(shmapped)
 

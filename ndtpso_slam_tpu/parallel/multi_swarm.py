@@ -27,16 +27,20 @@ from ndtpso_slam_tpu.ops import rng
 
 
 def _global_merge(gbest, gbest_cost, axis_name):
-    """Best (pose, cost) across the swarm axis [K] and optionally a mesh
-    axis. Returns broadcastable [3], [].
+    """Best (pose, cost) across the swarm axis [K] and optionally one or
+    more mesh axes (pass a tuple to merge over several, e.g.
+    ``('hosts', 'chips')``). Returns broadcastable [3], [].
 
     Uses the gather-free one-hot reduction (`models/pso.py:_select_min`)
     rather than ``argmin`` + indexing — dynamic gathers serialize on TPU.
     """
     best_cost, best_pose = _select_min(gbest_cost, gbest)
     if axis_name is not None:
-        all_costs = jax.lax.all_gather(best_cost, axis_name)  # [D]
-        all_poses = jax.lax.all_gather(best_pose, axis_name)  # [D, 3]
+        all_costs = jax.lax.all_gather(best_cost, axis_name, tiled=False)  # [D]
+        all_poses = jax.lax.all_gather(best_pose, axis_name, tiled=False)  # [D, 3]
+        if all_costs.ndim > 1:  # tuple axis names gather one dim per axis
+            all_costs = all_costs.reshape(-1)
+            all_poses = all_poses.reshape(-1, all_poses.shape[-1])
         best_cost, best_pose = _select_min(all_costs, all_poses)
     return best_pose, best_cost
 
@@ -49,10 +53,20 @@ def multi_swarm_solve(
     cfg: PSOConfig,
     exchange_every: int = 1,
     axis_name: Optional[str] = None,
+    dcn_axis_name: Optional[str] = None,
+    dcn_exchange_every: Optional[int] = None,
 ) -> PsoResult:
     """K-swarm PSO against one shared cost (map). Returns the single best.
 
     Inside `shard_map`, pass ``axis_name`` to merge across devices too.
+
+    Hierarchical (multi-host) exchange: with ``dcn_axis_name`` set, the
+    every-``exchange_every`` merge stays within a host (swarm axis +
+    ``axis_name``, riding ICI) and only every ``dcn_exchange_every``
+    iterations does the merge additionally cross hosts over the DCN axis —
+    so the expensive cross-host collective runs at a fraction of the ICI
+    exchange rate.  The final merge always covers every axis, so the
+    returned best is globally exact regardless of cadence.
     """
     dtype = guesses.dtype
     k, p = guesses.shape[0], cfg.population
@@ -80,6 +94,20 @@ def multi_swarm_solve(
     c1 = jnp.asarray(cfg.c1, dtype)
     c2 = jnp.asarray(cfg.c2, dtype)
 
+    if dcn_axis_name is not None:
+        ici_axes = axis_name
+        base = (
+            tuple(axis_name)
+            if isinstance(axis_name, (tuple, list))
+            else (() if axis_name is None else (axis_name,))
+        )
+        all_axes: Optional[Tuple[str, ...]] = base + (dcn_axis_name,)
+        dcn_every = dcn_exchange_every or exchange_every
+    else:
+        ici_axes = axis_name
+        all_axes = axis_name
+        dcn_every = None
+
     def body(i, carry):
         pos, vel, pbest, pbest_cost, gbest, gbest_cost, w = carry
         r = jax.vmap(
@@ -101,22 +129,41 @@ def multi_swarm_solve(
         gbest = jnp.where(gimp[:, None], bp, gbest)
         gbest_cost = jnp.where(gimp, bc, gbest_cost)
 
-        def exchange(args):
-            gbest, gbest_cost = args
-            best_pose, best_cost = _global_merge(gbest, gbest_cost, axis_name)
-            # Every swarm adopts the global best as its own gbest (island
-            # merge); pbest memories stay local for diversity.
-            return (
-                jnp.broadcast_to(best_pose, gbest.shape),
-                jnp.broadcast_to(best_cost, gbest_cost.shape),
-            )
+        def exchange_over(axes):
+            def exchange(args):
+                gbest, gbest_cost = args
+                best_pose, best_cost = _global_merge(gbest, gbest_cost, axes)
+                # Every swarm adopts the merged best as its own gbest
+                # (island merge); pbest memories stay local for diversity.
+                return (
+                    jnp.broadcast_to(best_pose, gbest.shape),
+                    jnp.broadcast_to(best_cost, gbest_cost.shape),
+                )
 
-        gbest, gbest_cost = jax.lax.cond(
-            (i + 1) % exchange_every == 0,
-            exchange,
-            lambda args: args,
-            (gbest, gbest_cost),
-        )
+            return exchange
+
+        if dcn_every is not None:
+            # Two-tier cadence: the DCN-crossing merge subsumes the ICI one,
+            # so on a DCN iteration only the full merge runs.
+            dcn_turn = (i + 1) % dcn_every == 0
+            gbest, gbest_cost = jax.lax.cond(
+                dcn_turn,
+                exchange_over(all_axes),
+                lambda args: jax.lax.cond(
+                    (i + 1) % exchange_every == 0,
+                    exchange_over(ici_axes),
+                    lambda a: a,
+                    args,
+                ),
+                (gbest, gbest_cost),
+            )
+        else:
+            gbest, gbest_cost = jax.lax.cond(
+                (i + 1) % exchange_every == 0,
+                exchange_over(ici_axes),
+                lambda args: args,
+                (gbest, gbest_cost),
+            )
         w = w * jnp.asarray(cfg.w_damping, dtype)
         return pos, vel, pbest, pbest_cost, gbest, gbest_cost, w
 
@@ -130,5 +177,5 @@ def multi_swarm_solve(
         jnp.asarray(cfg.w, dtype),
     )
     *_, gbest, gbest_cost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
-    best_pose, best_cost = _global_merge(gbest, gbest_cost, axis_name)
+    best_pose, best_cost = _global_merge(gbest, gbest_cost, all_axes)
     return PsoResult(pose=best_pose, cost=best_cost)
