@@ -122,3 +122,63 @@ def make_log(
         angle_increment=float(angle_increment),
         range_max=float(range_max),
     )
+
+
+def make_realistic_log(
+    seed: int = 0,
+    n_scans: int = 60,
+    n_beams: int = 540,
+    world_size: float = 40.0,
+    range_max: float = 30.0,
+    dt: float = 0.1,
+    range_noise: float = 0.02,
+    dropout: float = 0.05,
+    odom_noise: float = 0.03,
+    n_movers: int = 2,
+) -> ScanLog:
+    """A scan log with real-LiDAR failure modes the clean raycaster lacks:
+    per-beam Gaussian range noise, random beam dropout (specular surfaces /
+    max-range misses return 0), and dynamic clutter — boxes that move
+    between scans, so some returns are never explainable by the static map.
+    This is the fixture-generation path for end-to-end tests against
+    realistic data when no recorded dataset can be bundled.
+    """
+    rs = np.random.RandomState(seed + 17)
+    static = make_world(seed, size=world_size)
+    ts = np.arange(n_scans) * dt
+    trajectory = circle_trajectory(ts)
+    angle_min = -np.pi
+    angle_increment = 2 * np.pi / n_beams
+    # Dynamic boxes: random walks inside the room.
+    mover_pos = rs.uniform(-world_size * 0.3, world_size * 0.3, (n_movers, 2))
+    mover_vel = rs.uniform(-0.5, 0.5, (n_movers, 2))
+    mover_wh = rs.uniform(0.4, 1.0, (n_movers, 2))
+    ranges = np.zeros((n_scans, n_beams), np.float64)
+    for i in range(n_scans):
+        segs = [static]
+        for m in range(n_movers):
+            segs.append(
+                box_segments(mover_pos[m, 0], mover_pos[m, 1],
+                             mover_wh[m, 0], mover_wh[m, 1])
+            )
+        mover_pos = mover_pos + mover_vel * dt
+        ranges[i] = raycast(
+            np.concatenate(segs, axis=0), trajectory[i], n_beams,
+            angle_min, angle_increment, range_max,
+        )
+    noise = rs.normal(0, range_noise, ranges.shape)
+    ranges = np.where(ranges > 0, np.maximum(ranges + noise, 0.01), 0.0)
+    drop = rs.rand(*ranges.shape) < dropout
+    ranges = np.where(drop, 0.0, ranges)
+    odoms = trajectory + np.cumsum(
+        rs.normal(0, odom_noise * dt, trajectory.shape), axis=0
+    )  # drifting odometry, like a real wheel encoder
+    return ScanLog(
+        ranges=ranges.astype(np.float32),
+        poses=trajectory.astype(np.float64),
+        odoms=np.asarray(odoms, np.float64),
+        timestamps=ts,
+        angle_min=float(angle_min),
+        angle_increment=float(angle_increment),
+        range_max=float(range_max),
+    )

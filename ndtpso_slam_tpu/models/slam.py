@@ -187,11 +187,22 @@ def slam_step(
     astate = jax.tree_util.tree_map(
         lambda old, new: jnp.where(first, old, new), state.align, new_astate
     )
-    new_map = ndt_map.update(state.map, cfg.map, pose, scan.points, scan.valid)
+    from ndtpso_slam_tpu.ops.geometry import cell_index, transform_points
+
+    wpts = transform_points(scan.points, pose)
+    new_map = ndt_map.add_points(state.map, cfg.map, wpts, scan.valid)
     new_map = ndt_map.build(new_map, cfg.map)
     og = state.og
     if og is not None:
-        og = occupancy.og_update(og, new_map, cfg.map, cfg.og)
+        # Incremental raster: only parent cells touched by this scan can
+        # have changed Gaussians, so refreshing their sub-blocks reproduces
+        # the dense og_update exactly (see occupancy.og_update_incremental).
+        idx, inb = cell_index(
+            wpts, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
+            cells_per_side=cfg.map.cells_per_side,
+        )
+        ids = jnp.where(scan.valid & inb, idx, cfg.map.num_cells)
+        og = occupancy.og_update_incremental(og, new_map, cfg.map, cfg.og, ids)
     new_state = SlamState(
         map=new_map, align=astate, og=og, pose=pose, step=state.step + 1
     )

@@ -219,19 +219,9 @@ class SlamNode:
 
 
 def _load_log(path: str):
-    from ndtpso_slam_tpu.io.synthetic import ScanLog
+    from ndtpso_slam_tpu.io.importers import load_log
 
-    if path.endswith(".npz"):
-        d = np.load(path)
-        return ScanLog(
-            ranges=d["ranges"], poses=d.get("poses"), odoms=d.get("odoms"),
-            timestamps=d["timestamps"], angle_min=float(d["angle_min"]),
-            angle_increment=float(d["angle_increment"]),
-            range_max=float(d["range_max"]),
-        )
-    from ndtpso_slam_tpu.utils import native
-
-    return native.scanlog_read(path)
+    return load_log(path)
 
 
 def main(argv=None):
