@@ -257,6 +257,55 @@ def bind_points_local(
     return _quadform_bound(bind_pose, points, mean, icov, mask)
 
 
+def stencil_exact_cost(
+    poses: jnp.ndarray,  # [P, 3]
+    nbr: NeighborhoodBind,
+    points: jnp.ndarray,  # [N, 2]
+    cfg: MapConfig,
+) -> jnp.ndarray:  # [P]
+    """Exact per-PARTICLE correspondence, gather-free: every particle re-bins
+    every point against the pre-gathered stencil each evaluation.
+
+    The frozen-correspondence costs (:func:`bind_points` /
+    :func:`bind_points_local`) bind once per iteration at the incumbent
+    pose; with small cells (the reference's 0.5 m default) and thin
+    single-scan Gaussians, particles then get scored by extrapolating a
+    stale cell's quadratic well past its borders — measured to break
+    sequential-SLAM tracking at cell_side 0.5 m.  Here the one-hot stencil
+    select runs per (particle, point), so the selected statistics — and the
+    resulting cost — are IDENTICAL to :func:`ndt_cost` whenever the point
+    stays within ±radius cells of its anchor (beyond it scores 0, the same
+    no-information convention as leaving the map, `core.cpp:38-43`).
+
+    Work is O(P·N·K2) VPU compare/FMA with no dynamic gathers: the right
+    trade for solve-loop populations (the reference's 30-50); the
+    frozen-binding matmul forms stay the throughput path for the
+    4096-particle batch workloads where deviations are small relative to
+    the cell side.
+    """
+    dtype = points.dtype
+    r = nbr.radius
+    side = 2 * r + 1
+    k2 = side * side
+    q = transform_points(points, poses)  # [P, N, 2]
+    jx, jy, inb = cell_coords(q, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m)
+    di = jx - nbr.anchor_ix[None, :]  # [P, N]
+    dj = jy - nbr.anchor_iy[None, :]
+    in_st = (jnp.abs(di) <= r) & (jnp.abs(dj) <= r)
+    k = (dj + r) * side + (di + r)  # [P, N] row-major, as bind_neighborhood
+    sel = (
+        jnp.arange(k2, dtype=jnp.int32)[None, None, :] == k[:, :, None]
+    ) & in_st[:, :, None]  # [P, N, K2]
+    onehot = sel.astype(dtype)
+    mean = jnp.einsum("pnk,nkc->pnc", onehot, nbr.mean)  # [P, N, 2]
+    icov = jnp.einsum("pnk,nkc->pnc", onehot, nbr.icov)  # [P, N, 3]
+    built = jnp.any(sel & nbr.built[None, :, :], axis=-1)  # [P, N]
+    score = gaussian.ndt_score(
+        q - mean, icov, built & inb & nbr.valid[None, :]
+    )
+    return -jnp.sum(score, axis=-1)
+
+
 def _phi(u: jnp.ndarray) -> jnp.ndarray:
     """Monomial features u_a·u_b (a<=b): [..., 5] -> [..., 15]."""
     return jnp.stack([u[..., a] * u[..., b] for a, b in _IJ], axis=-1)

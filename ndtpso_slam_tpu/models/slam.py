@@ -68,7 +68,7 @@ def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
 
 
 SLAM_COST_MODES = (
-    "exact", "fast", "fast_local",
+    "exact", "fast", "fast_local", "local_exact",
     "rollout", "rollout_bf16", "rollout_turbo", "rollout_turbo_bf16",
 )
 
@@ -96,6 +96,18 @@ def make_cost_fn(
         )
         return lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points_local(bind, nbr, scan.points, cfg.map)
+        )
+    if cfg.cost_mode == "local_exact":
+        # Per-particle stencil rebind: exact correspondences, zero gathers in
+        # the loop — the accurate choice at the reference's 0.5 m cell side,
+        # where frozen-at-incumbent bindings lose tracking (cost.py:
+        # stencil_exact_cost).
+        nbr = cost_mod.bind_neighborhood(
+            guess, snap, scan.points, scan.valid, cfg.map,
+            radius=cost_mod.DEFAULT_STENCIL_RADIUS,
+        )
+        return lambda poses, bind: cost_mod.stencil_exact_cost(
+            poses, nbr, scan.points, cfg.map
         )
     raise ValueError(
         f"unknown cost_mode: {cfg.cost_mode}; expected one of {SLAM_COST_MODES}"

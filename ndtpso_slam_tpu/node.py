@@ -54,7 +54,11 @@ class NodeConfig:
     pso_w_damping: float = cfgm.PSO_W_DAMPING
     window_slots: int = cfgm.NDT_WINDOW_SIZE
     max_beams: int = 1024
-    cost_mode: str = "fast"
+    # local_exact: per-particle stencil rebind — exact correspondences with
+    # no gathers in the loop.  The frozen-binding 'fast*' modes measurably
+    # lose tracking at the default 0.5 m cell side (see models/cost.py:
+    # stencil_exact_cost); they remain available for coarser maps.
+    cost_mode: str = "local_exact"
     seed: int = 42
     save_every: int = 10  # SAVE_DATA_TO_FILE_EACH_NUM_ITERS
     save_map_images: bool = False

@@ -48,6 +48,7 @@ COST_MODES = frozenset(
         "exact",
         "fast",
         "fast_local",
+        "local_exact",
         "fast_fused",
         "fast_local_fused",
         "rollout",
@@ -69,6 +70,13 @@ def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cos
         )
         cost_fn = lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points_local(bind, nbr, points, map_cfg)
+        )
+    elif cost_mode == "local_exact":
+        nbr = cost_mod.bind_neighborhood(
+            guess, snap, points, valid, map_cfg, radius=STENCIL_RADIUS
+        )
+        cost_fn = lambda poses, bind: cost_mod.stencil_exact_cost(
+            poses, nbr, points, map_cfg
         )
     else:
         cost_fn = lambda poses, bind: cost_mod.ndt_cost(

@@ -86,3 +86,32 @@ def test_fast_cost_tracks_exact_nearby():
     assert abs(int(np.argmin(fast)) - int(np.argmin(exact))) == 0 or (
         exact[np.argmin(fast)] - exact.min() < 0.05 * np.abs(exact.min())
     )
+
+
+def test_stencil_exact_cost_equals_exact_within_radius():
+    """Per-particle stencil rebind == ndt_cost whenever every point stays
+    within +-radius cells of its anchor (models/cost.py:stencil_exact_cost)."""
+    state, _, scan = _build_pair(seed=3)
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    rs = np.random.RandomState(5)
+    anchor = np.float32([0.05, -0.03, 0.02])
+    nbr = cost_mod.bind_neighborhood(anchor, snap, scan, valid, CFG, radius=2)
+    # Poses within ~1 cell of the anchor: every point stays in its stencil.
+    poses = (anchor + rs.uniform(-0.5, 0.5, (32, 3)) * np.float32([1, 1, 0.1])
+             ).astype(np.float32)
+    got = np.asarray(cost_mod.stencil_exact_cost(poses, nbr, scan, CFG))
+    want = np.asarray(cost_mod.ndt_cost(poses, snap, scan, valid, CFG))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_exact_cost_zero_outside_stencil():
+    state, _, scan = _build_pair(seed=3)
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    anchor = np.float32([0.0, 0.0, 0.0])
+    nbr = cost_mod.bind_neighborhood(anchor, snap, scan, valid, CFG, radius=1)
+    # A pose 5 cells away pushes every point out of its r=1 stencil.
+    far = np.float32([[5.0, 5.0, 0.0]])
+    got = float(cost_mod.stencil_exact_cost(far, nbr, scan, CFG)[0])
+    assert got == 0.0

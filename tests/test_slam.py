@@ -46,7 +46,7 @@ def _traj_errors(poses, gt):
     return dt, da
 
 
-@pytest.mark.parametrize("cost_mode", ["exact", "fast", "fast_local"])
+@pytest.mark.parametrize("cost_mode", ["exact", "fast", "fast_local", "local_exact"])
 def test_slam_tracks_synthetic_trajectory(cost_mode):
     cfg = _small_cfg(cost_mode)
     log = synthetic.make_log(seed=3, n_scans=25, n_beams=360, world_size=40.0, dt=0.1)
