@@ -110,6 +110,50 @@ class OccupancyGridConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RecoveryConfig:
+    """Tracking-loss detection + multi-swarm relocalization.
+
+    The reference has no recovery at all: a bad align silently corrupts the
+    map and the node only ever dies on exceptions (`main.cpp:21-26`; SURVEY
+    §5 "failure detection: none").  This is a new capability: per-scan match
+    fitness (mean exact NDT score per valid beam, in [0, 1]) gates a
+    K-hypothesis multi-swarm relocalization (`parallel/multi_swarm.py`)
+    around the last trusted pose; the relocalized pose is adopted only if its
+    exact cost beats the failed align.  Off by default — enabling it compiles
+    the recovery branch into `slam_step` (executed only when triggered, via
+    `lax.cond`).
+    """
+
+    enabled: bool = False
+    # Mean per-valid-beam NDT score below which tracking is declared lost.
+    # Healthy indoor tracking measures ~0.4-0.7; a teleported/diverged pose
+    # scores <0.05.
+    fitness_threshold: float = 0.15
+    # Stage 1: exact-cost scoring of a dense (nx, ny, ntheta) pose grid over
+    # +-spread around the last trusted pose — brute-force basin search is one
+    # big batched eval, exactly what the chip is good at.  Grid spacing at the
+    # defaults: 0.25 m x 0.25 m x 0.39 rad.
+    spread: Tuple[float, float, float] = (3.0, 3.0, math.pi)
+    grid: Tuple[int, int, int] = (24, 24, 32)
+    # Coarse-to-fine: map Gaussians are ~1 cm thin across surfaces (the
+    # eigenvalue floor, `ndtcell.cpp:104-108`), far narrower than any grid
+    # spacing — stage 1 scores against a Σ+σ²I-inflated snapshot so grid
+    # nodes half a spacing away still see the basin; stage 2 refines on a
+    # lightly inflated one; a final exact-cost polish solve nails the pose.
+    grid_sigma: float = 0.5
+    refine_sigma: float = 0.1
+    # Stage 2: the top-K grid candidates (plus the last pose and the failed
+    # align) are refined by a multi-swarm PSO with a sub-grid-spacing radius.
+    k_hypotheses: int = 8
+    deviation: Tuple[float, float, float] = (0.3, 0.3, 0.3)
+    pso: PSOConfig = PSOConfig(iterations=20, population=128)
+    exchange_every: int = 5
+    # Scans with fewer valid beams than this are treated as sensor dropouts:
+    # dead-reckon (constant velocity) and do NOT ingest them into the map.
+    min_valid_beams: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
 class SlamConfig:
     """Full sequential-SLAM configuration: the `scan.launch` analogue."""
 
@@ -117,6 +161,7 @@ class SlamConfig:
     map: MapConfig = MapConfig()
     scan: ScanConfig = ScanConfig()
     og: OccupancyGridConfig = OccupancyGridConfig(enabled=False)
+    recovery: RecoveryConfig = RecoveryConfig()
     first_deviation: Tuple[float, float, float] = FIRST_DEVIATION
     # align() widens the search to twice the last inter-scan motion
     # (ndtframe.cpp:253).

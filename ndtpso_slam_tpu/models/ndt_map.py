@@ -255,6 +255,30 @@ def snapshot(state: NdtMapState, cfg: MapConfig) -> MapSnapshot:
     )
 
 
+def smooth_snapshot(snap: MapSnapshot, sigma: float) -> MapSnapshot:
+    """Covariance-inflated snapshot for coarse-to-fine matching.
+
+    Map Gaussians are razor-thin across surfaces (the eigenvalue
+    regularization `ndtcell.cpp:93-111` floors λmin at 0.001·λmax, ~1 cm for
+    wall cells), so the exact cost basin is centimetres wide — fine for
+    scan-to-scan tracking, hopeless for a coarse relocalization sweep.
+    Adding σ²·I to every cell covariance (Σ' = Σ + σ²I, recomputed from the
+    packed inverse in closed 2x2 form) widens each basin to ≳σ without moving
+    its optimum, the standard coarse-to-fine NDT trick.
+    """
+    a, b, c = snap.inv_cov[..., 0], snap.inv_cov[..., 1], snap.inv_cov[..., 2]
+    det = a * c - b * b  # det of Λ = 1/det(Σ)
+    ok = det > 1e-20
+    safe = jnp.where(ok, det, 1.0)
+    s2 = jnp.asarray(sigma * sigma, snap.inv_cov.dtype)
+    ca = c / safe + s2  # Σ' entries (Σ = adj(Λ)/det(Λ) for 2x2 symmetric)
+    cb = -b / safe
+    cc = a / safe + s2
+    d2 = ca * cc - cb * cb
+    icov = jnp.stack([cc / d2, -cb / d2, ca / d2], axis=-1)
+    return MapSnapshot(mean=snap.mean, inv_cov=icov, built=snap.built & ok)
+
+
 def reset(state: NdtMapState) -> NdtMapState:
     """Full zero reset.
 

@@ -51,6 +51,10 @@ class SlamState(struct.PyTreeNode):
     og: Optional[occupancy.OccupancyGrid]
     pose: jnp.ndarray  # [3] current estimate
     step: jnp.ndarray  # [] int32
+    # Match fitness of the last scan: mean exact NDT score per valid beam,
+    # in [0, 1].  Drives tracking-loss detection (cfg.recovery).
+    fitness: jnp.ndarray  # [] dtype
+    recoveries: jnp.ndarray  # [] int32 cumulative accepted relocalizations
 
 
 def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
@@ -64,6 +68,8 @@ def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
         og=occupancy.init_og(cfg.map, cfg.og) if cfg.og.enabled else None,
         pose=pose,
         step=jnp.asarray(0, jnp.int32),
+        fitness=jnp.asarray(0.0, dtype),
+        recoveries=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -184,12 +190,129 @@ def align(
     return new_astate, result
 
 
+def _reloc_grid(last_pose, rc, dtype) -> jnp.ndarray:
+    """Dense pose grid over ±spread around the last trusted pose, [G, 3]."""
+    nx, ny, nt = rc.grid
+    sx, sy, st = rc.spread
+    lin = lambda n, s: jnp.linspace(-s, s, n, dtype=dtype)
+    gx, gy, gt = jnp.meshgrid(lin(nx, sx), lin(ny, sy), lin(nt, st),
+                              indexing="ij")
+    return last_pose + jnp.stack(
+        [gx.reshape(-1), gy.reshape(-1), gt.reshape(-1)], axis=-1
+    )
+
+
+def _nms_top_k(grid, costs, k, radius):
+    """Greedy non-max-suppressed top-K over the pose grid.
+
+    Plain top-K clusters all K picks inside the single best-scoring basin
+    (often a rotation-symmetric false match); suppressing a ±radius
+    neighborhood around each pick forces the hypotheses to be K *distinct*
+    basins.  Returns [K, 3] poses, best first."""
+    two_pi = jnp.asarray(2.0 * jnp.pi, grid.dtype)
+
+    def body(costs, _):
+        from ndtpso_slam_tpu.models.pso import _select_min
+
+        _, bp = _select_min(costs, grid)
+        d = jnp.abs(grid - bp)
+        dth = jnp.minimum(d[:, 2], two_pi - d[:, 2])
+        near = (d[:, 0] <= radius[0]) & (d[:, 1] <= radius[1]) & (dth <= radius[2])
+        return jnp.where(near, jnp.inf, costs), bp
+
+    _, hyps = jax.lax.scan(body, costs, None, length=k)
+    return hyps
+
+
+def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
+    """Three-stage relocalization around the last trusted pose.
+
+    Stage 1 brute-force scores a dense (nx·ny·nθ) pose grid — a massively
+    batched eval is exactly what the chip is good at (chunked with `lax.map`
+    to bound the [g, N] intermediate) — against a covariance-inflated
+    snapshot: the map's Gaussians are centimetres thin across surfaces, so
+    the exact basin is invisible to any feasible grid spacing
+    (coarse-to-fine NDT).  Non-max suppression turns the score field into K
+    *distinct* basin hypotheses (plus the last pose and the failed align, so
+    recovery can never do worse than either).
+
+    Stage 2 refines every hypothesis with an independent PSO swarm on a
+    lightly inflated cost; stage 3 polishes each with the exact cost and
+    picks the winner by exact cost — so rotation-symmetric false basins,
+    which score well only when smoothed, lose to the true one.
+    Returns (pose [3], exact cost [])."""
+    from ndtpso_slam_tpu.models.pso import _select_min
+
+    rc = cfg.recovery
+    dtype = last_pose.dtype
+    k = rc.k_hypotheses
+
+    # --- stage 1: coarse grid sweep + NMS hypothesis extraction.
+    grid = _reloc_grid(last_pose, rc, dtype)
+    g = grid.shape[0]
+    chunk = next(c for c in range(min(1024, g), 0, -1) if g % c == 0)
+    coarse_snap = ndt_map.smooth_snapshot(snap, rc.grid_sigma)
+    coarse = lambda poses: cost_mod.ndt_cost(
+        poses, coarse_snap, scan.points, scan.valid, cfg.map
+    )
+    score = lambda poses: cost_mod.ndt_cost(
+        poses, snap, scan.points, scan.valid, cfg.map
+    )
+    costs = jax.lax.map(coarse, grid.reshape(g // chunk, chunk, 3)).reshape(-1)
+    nx, ny, nt = rc.grid
+    sx, sy, st = rc.spread
+    spacing = jnp.asarray(
+        [2.0 * sx / max(nx - 1, 1), 2.0 * sy / max(ny - 1, 1),
+         2.0 * st / max(nt - 1, 1)],
+        dtype,
+    )
+    hypo = _nms_top_k(grid, costs, k, 1.5 * spacing)
+    hypo = hypo.at[0].set(last_pose).at[1].set(failed_pose)
+
+    # --- stage 2: per-hypothesis independent PSO on the lightly inflated
+    # cost (fresh keys, decoupled from the solve's pair-counter space).
+    rk = rng.threefry2x32(
+        key, jnp.asarray(0x5EC0, jnp.uint32), jnp.asarray(0xFA11, jnp.uint32)
+    )
+    k0, k1 = rng.threefry2x32(
+        rk, jnp.arange(k, dtype=jnp.uint32), jnp.full((k,), 0x5117, jnp.uint32)
+    )
+    refine_snap = (
+        ndt_map.smooth_snapshot(snap, rc.refine_sigma)
+        if rc.refine_sigma > 0 else snap
+    )
+    refine_fn = lambda poses, bind: cost_mod.ndt_cost(
+        poses, refine_snap, scan.points, scan.valid, cfg.map
+    )
+    dev = jnp.asarray(rc.deviation, dtype)
+    refined = jax.vmap(
+        lambda kk, h: pso_solve((kk[0], kk[1]), h, dev, refine_fn, rc.pso).pose
+    )(jnp.stack([k0, k1], -1), hypo)
+
+    # --- stage 3: exact polish of every hypothesis, winner by exact cost.
+    # Collapsing to one winner *before* the exact stage would let a smoothed
+    # false basin beat the true one; keeping all K alive to here is what
+    # disambiguates them.
+    p0, p1 = rng.threefry2x32(
+        rk, jnp.arange(k, dtype=jnp.uint32) + jnp.asarray(0x907, jnp.uint32),
+        jnp.full((k,), 0x13, jnp.uint32),
+    )
+    pdev = jnp.asarray((0.1, 0.1, 0.05), dtype)
+    exact_fn = lambda poses, bind: score(poses)
+    polished = jax.vmap(
+        lambda kk, h: pso_solve((kk[0], kk[1]), h, pdev, exact_fn, rc.pso)
+    )(jnp.stack([p0, p1], -1), refined)
+    best_cost, best_pose = _select_min(polished.cost, polished.pose)
+    return best_pose.astype(dtype), best_cost.astype(dtype)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def slam_step(
     state: SlamState, scan: Scan, key, cfg: SlamConfig
 ) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray]:
     """One scan-synchronous SLAM step.  Returns (state', pose, cost)."""
     first = state.step == 0
+    dtype = state.pose.dtype
     snap = ndt_map.snapshot(state.map, cfg.map)
     new_astate, result = align(key, state.align, snap, scan, state.pose, cfg)
     # First scan: keep the prior pose and do not advance align bookkeeping
@@ -199,10 +322,65 @@ def slam_step(
     astate = jax.tree_util.tree_map(
         lambda old, new: jnp.where(first, old, new), state.align, new_astate
     )
+    # Match fitness: result.cost is the exact NDT objective (align re-scores
+    # fast modes), -cost / n_valid is the mean per-beam score in [0, 1].
+    n_valid = jnp.sum(scan.valid)
+    cost = result.cost.astype(dtype)
+    fitness = -cost / jnp.maximum(n_valid, 1).astype(dtype)
+    ingest_valid = scan.valid
+    recoveries = state.recoveries
+
+    if cfg.recovery.enabled:
+        rc = cfg.recovery
+        # Sensor dropout: too few valid beams to match against — constant-
+        # velocity dead reckoning, and do NOT pollute the map with the scan.
+        degraded = (~first) & (n_valid < rc.min_valid_beams)
+        dead_pose = state.pose + state.align.pose_diff
+        # Tracking loss: healthy align budget spent but the exact score is
+        # poor.  Only meaningful after the cold-start scans.
+        lost = (
+            (~first)
+            & (~degraded)
+            & (state.align.iter >= 2)
+            & (fitness < jnp.asarray(rc.fitness_threshold, dtype))
+        )
+
+        def recover(_):
+            rpose, rcost = _relocalize(key, snap, scan, state.pose, pose, cfg)
+            accept = rcost < cost
+            return (
+                jnp.where(accept, rpose, pose),
+                jnp.where(accept, rcost, cost),
+                accept,
+            )
+
+        def no_recover(_):
+            return pose, cost, jnp.asarray(False)
+
+        pose_r, cost_r, accepted = jax.lax.cond(lost, recover, no_recover, None)
+        pose = jnp.where(degraded, dead_pose, pose_r)
+        cost = jnp.where(degraded, cost, cost_r)
+        fitness = -cost / jnp.maximum(n_valid, 1).astype(dtype)
+        # Align bookkeeping: a recovery jump is not robot motion (pose_diff
+        # := 0 so the next deviation doesn't explode); a dead-reckoned step
+        # keeps the previous velocity estimate.
+        pose_diff = jnp.where(
+            degraded,
+            state.align.pose_diff,
+            jnp.where(accepted, jnp.zeros_like(pose), astate.pose_diff),
+        )
+        astate = AlignState(
+            prev_pose=jnp.where(first, astate.prev_pose, pose),
+            pose_diff=jnp.where(first, astate.pose_diff, pose_diff),
+            iter=astate.iter,
+        )
+        ingest_valid = scan.valid & ~degraded
+        recoveries = recoveries + accepted.astype(jnp.int32)
+
     from ndtpso_slam_tpu.ops.geometry import cell_index, transform_points
 
     wpts = transform_points(scan.points, pose)
-    new_map = ndt_map.add_points(state.map, cfg.map, wpts, scan.valid)
+    new_map = ndt_map.add_points(state.map, cfg.map, wpts, ingest_valid)
     new_map = ndt_map.build(new_map, cfg.map)
     og = state.og
     if og is not None:
@@ -213,12 +391,13 @@ def slam_step(
             wpts, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
             cells_per_side=cfg.map.cells_per_side,
         )
-        ids = jnp.where(scan.valid & inb, idx, cfg.map.num_cells)
+        ids = jnp.where(ingest_valid & inb, idx, cfg.map.num_cells)
         og = occupancy.og_update_incremental(og, new_map, cfg.map, cfg.og, ids)
     new_state = SlamState(
-        map=new_map, align=astate, og=og, pose=pose, step=state.step + 1
+        map=new_map, align=astate, og=og, pose=pose, step=state.step + 1,
+        fitness=fitness, recoveries=recoveries,
     )
-    return new_state, pose, result.cost
+    return new_state, pose, cost
 
 
 @partial(jax.jit, static_argnames=("cfg",))

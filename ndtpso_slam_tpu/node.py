@@ -62,6 +62,11 @@ class NodeConfig:
     seed: int = 42
     save_every: int = 10  # SAVE_DATA_TO_FILE_EACH_NUM_ITERS
     save_map_images: bool = False
+    # Tracking-loss recovery (a capability the reference lacks; SURVEY §5
+    # "failure detection: none").  Off by default to match reference behavior.
+    recovery: bool = False
+    recovery_fitness_threshold: float = 0.15
+    recovery_hypotheses: int = 8
 
     def slam_config(self) -> cfgm.SlamConfig:
         return cfgm.SlamConfig(
@@ -81,6 +86,11 @@ class NodeConfig:
             scan=cfgm.ScanConfig(max_beams=self.max_beams),
             og=cfgm.OccupancyGridConfig(
                 cell_size_m=self.og_cell_size_m, enabled=self.build_og
+            ),
+            recovery=cfgm.RecoveryConfig(
+                enabled=self.recovery,
+                fitness_threshold=self.recovery_fitness_threshold,
+                k_hypotheses=self.recovery_hypotheses,
             ),
             cost_mode=self.cost_mode,
         )
@@ -163,11 +173,17 @@ class SlamNode:
         for cb in self.pose_callbacks:
             cb(timestamp, pose_np)
         if self.verbose and self._step > 1:
+            extra = ""
+            if self.slam_cfg.recovery.enabled:
+                extra = (
+                    f", fitness {float(self.state.fitness):.3f}"
+                    f", recoveries {int(self.state.recoveries)}"
+                )
             print(
                 f"[ndtpso] scan {self._step}: pose "
                 f"({pose_np[0]:.3f}, {pose_np[1]:.3f}, {pose_np[2]:.3f}) | "
                 f"avg rate {self.meter.average_rate_hz:.2f} Hz, "
-                f"matching rate {self.meter.matching_rate_hz:.2f} Hz",
+                f"matching rate {self.meter.matching_rate_hz:.2f} Hz" + extra,
                 file=sys.stderr,
             )
         return pose_np
@@ -264,6 +280,10 @@ def main(argv=None):
     ap.add_argument("--max-beams", type=int, default=None,
                     help="padded beam count (static shape)")
     ap.add_argument("--og", action="store_true", help="build the occupancy grid")
+    ap.add_argument(
+        "--recovery", action="store_true",
+        help="enable tracking-loss detection + multi-swarm relocalization",
+    )
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--quiet", action="store_true")
@@ -280,6 +300,8 @@ def main(argv=None):
     )
     if args.og:
         overrides["build_og"] = True
+    if args.recovery:
+        overrides["recovery"] = True
     if args.save_images:
         overrides["save_map_images"] = True
     if args.config:
