@@ -92,6 +92,10 @@ def main():
 
     def timeit(name, fn, *a, donate=()):
         f = jax.jit(fn, donate_argnums=donate)
+        if donate:
+            # Donation consumes a[0]; hand the timer its own copy so later
+            # timers can still use the original state.
+            a = (jax.tree_util.tree_map(jnp.copy, a[0]),) + a[1:]
         out = f(*a)
         jax.block_until_ready(out)  # compile (donates a[0] if donate set)
         if donate:

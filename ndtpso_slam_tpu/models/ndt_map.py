@@ -246,6 +246,143 @@ def build(state: NdtMapState, cfg: MapConfig) -> NdtMapState:
     )
 
 
+def _build_rows(cfg: MapConfig, rows: "_CellRows") -> "_CellRows":
+    """The per-cell build math of :func:`build`, on a gathered row batch."""
+    dtype = rows.cur_sum.dtype
+    g_sum = rows.g_sum + rows.cur_sum - rows.old_sum
+    g_count = rows.g_count + rows.cur_count - rows.old_count
+    has_stats = g_count > 2
+    n_w = jnp.maximum(g_count, 1).astype(dtype)
+    mean_c_new = g_sum / n_w[:, None]
+    n_cur = rows.cur_count.astype(dtype)
+    sx, sy = rows.cur_sum[:, 0], rows.cur_sum[:, 1]
+    mx, my = mean_c_new[:, 0], mean_c_new[:, 1]
+    cov_cur = jnp.stack(
+        [
+            rows.cur_m2[:, 0] - 2.0 * mx * sx + n_cur * mx * mx,
+            rows.cur_m2[:, 1] - mx * sy - my * sx + n_cur * mx * my,
+            rows.cur_m2[:, 2] - 2.0 * my * sy + n_cur * my * my,
+        ],
+        axis=-1,
+    )
+    g_cov_new = rows.g_cov + cov_cur - rows.old_cov
+    g_cov = jnp.where(has_stats[:, None], g_cov_new, rows.g_cov)
+    slot_cov = jnp.where(has_stats[:, None], cov_cur, rows.old_cov)
+    covar = g_cov_new / n_w[:, None]
+    inv_cov_new = gaussian.regularized_inverse(covar)
+    mean_c = jnp.where(has_stats[:, None], mean_c_new, rows.mean_c)
+    inv_cov = jnp.where(has_stats[:, None], inv_cov_new, rows.inv_cov)
+    built = rows.built | has_stats
+    rotate = rows.cur_count > cfg.slot_capacity
+    slot_idx = jnp.where(
+        rotate, (rows.slot_idx + 1) % cfg.window_slots, rows.slot_idx
+    )
+    return _CellRows(
+        mean_c=mean_c,
+        inv_cov=inv_cov,
+        built=built,
+        g_sum=g_sum,
+        g_count=g_count,
+        g_cov=g_cov,
+        old_sum=rows.cur_sum,  # new slot contents
+        old_count=rows.cur_count,
+        old_cov=slot_cov,
+        slot_idx=slot_idx,
+        cur_sum=jnp.where(rotate[:, None], jnp.zeros_like(rows.cur_sum), rows.cur_sum),
+        cur_count=jnp.where(rotate, 0, rows.cur_count),
+        cur_m2=jnp.where(rotate[:, None], jnp.zeros_like(rows.cur_m2), rows.cur_m2),
+    )
+
+
+class _CellRows(struct.PyTreeNode):
+    """A gathered batch of per-cell state rows (build scratch)."""
+
+    mean_c: jnp.ndarray
+    inv_cov: jnp.ndarray
+    built: jnp.ndarray
+    g_sum: jnp.ndarray
+    g_count: jnp.ndarray
+    g_cov: jnp.ndarray
+    old_sum: jnp.ndarray  # current window slot's stored partials
+    old_count: jnp.ndarray
+    old_cov: jnp.ndarray
+    slot_idx: jnp.ndarray
+    cur_sum: jnp.ndarray
+    cur_count: jnp.ndarray
+    cur_m2: jnp.ndarray
+
+
+def build_touched(
+    state: NdtMapState, cfg: MapConfig, ids: jnp.ndarray
+) -> NdtMapState:
+    """Sparse build: refresh only the cells in ``ids``.
+
+    TPU gathers/scatters pay per ROW: the dense :func:`build` moves 6 full
+    [C]-row gather/scatter passes over the ring buffer every call — measured
+    157 ms/scan at the reference's default scale (C=360k cells, 100 slots;
+    `experiments/profile_map_update.py`), 98% of the whole SLAM step.  But a
+    scan of N beams can only change the N cells it binned into: every other
+    cell's WINDOW_ADD replaces its slot with the identical value it already
+    holds (its open accumulators are untouched since its own last build) and
+    its rotation test cannot newly fire (a rotation zeroes the open slot, so
+    it only triggers on the build immediately after an ingestion).  So
+    rebuilding exactly the touched rows is BIT-IDENTICAL to the dense pass
+    **provided a build ran after every prior ingestion** — which `slam_step`
+    guarantees (`tests/test_map.py` asserts the equivalence, rotations
+    included).
+
+    ids: [N] int32 flat cell ids; entries >= cfg.num_cells are dropped
+    (the same sentinel convention as :func:`add_points`).  Duplicates are
+    fine: duplicate rows compute identical values and scatter `.set` writes
+    of identical values are order-independent.
+
+    One carry-over is required for exactness: a cell whose build ROTATED the
+    ring must be rebuilt on the NEXT build too (the reference evicts the
+    now-current slot's stale partials one build after rotation,
+    `ndtcell.cpp:38-41` running with zeroed current accumulators).  Rotation
+    only fires on touched builds, so callers pass the UNION of this scan's
+    ids and the previous scan's ids (`slam_step` threads `prev_ids` through
+    `SlamState` for exactly this).
+    """
+    sentinel = ids >= cfg.num_cells
+    safe = jnp.where(sentinel, 0, ids)
+    sidx = jnp.where(sentinel, cfg.num_cells, ids)
+    slot = state.slot_idx[safe]
+    rows = _CellRows(
+        mean_c=state.mean_c[safe],
+        inv_cov=state.inv_cov[safe],
+        built=state.built[safe],
+        g_sum=state.g_sum[safe],
+        g_count=state.g_count[safe],
+        g_cov=state.g_cov[safe],
+        old_sum=state.slot_sum[safe, slot],
+        old_count=state.slot_count[safe, slot],
+        old_cov=state.slot_cov[safe, slot],
+        slot_idx=slot,
+        cur_sum=state.cur_sum[safe],
+        cur_count=state.cur_count[safe],
+        cur_m2=state.cur_m2[safe],
+    )
+    new = _build_rows(cfg, rows)
+    return state.replace(
+        mean_c=state.mean_c.at[sidx].set(new.mean_c, mode="drop"),
+        inv_cov=state.inv_cov.at[sidx].set(new.inv_cov, mode="drop"),
+        built=state.built.at[sidx].set(new.built, mode="drop"),
+        g_sum=state.g_sum.at[sidx].set(new.g_sum, mode="drop"),
+        g_count=state.g_count.at[sidx].set(new.g_count, mode="drop"),
+        g_cov=state.g_cov.at[sidx].set(new.g_cov, mode="drop"),
+        # The slot write targets the PRE-rotation slot (matching the dense
+        # pass, which puts before advancing the ring).
+        slot_sum=state.slot_sum.at[sidx, slot].set(new.old_sum, mode="drop"),
+        slot_count=state.slot_count.at[sidx, slot].set(new.old_count, mode="drop"),
+        slot_cov=state.slot_cov.at[sidx, slot].set(new.old_cov, mode="drop"),
+        slot_idx=state.slot_idx.at[sidx].set(new.slot_idx, mode="drop"),
+        cur_sum=state.cur_sum.at[sidx].set(new.cur_sum, mode="drop"),
+        cur_count=state.cur_count.at[sidx].set(new.cur_count, mode="drop"),
+        cur_m2=state.cur_m2.at[sidx].set(new.cur_m2, mode="drop"),
+    )
+
+
 def snapshot(state: NdtMapState, cfg: MapConfig) -> MapSnapshot:
     """World-frame Gaussians for solving (decouples the heavy window state
     from what the hot loop reads)."""

@@ -55,6 +55,11 @@ class SlamState(struct.PyTreeNode):
     # in [0, 1].  Drives tracking-loss detection (cfg.recovery).
     fitness: jnp.ndarray  # [] dtype
     recoveries: jnp.ndarray  # [] int32 cumulative accepted relocalizations
+    # Cell ids touched by the previous scan (sentinel num_cells elsewhere).
+    # A build that rotates a cell's ring must be followed by a rebuild of
+    # that cell (stale-slot eviction, see ndt_map.build_touched); rotation
+    # only fires on touched builds, so last scan's ids cover it.
+    prev_ids: jnp.ndarray  # [N] int32
 
 
 def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
@@ -70,6 +75,7 @@ def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
         step=jnp.asarray(0, jnp.int32),
         fitness=jnp.asarray(0.0, dtype),
         recoveries=jnp.asarray(0, jnp.int32),
+        prev_ids=jnp.full((cfg.scan.max_beams,), cfg.map.num_cells, jnp.int32),
     )
 
 
@@ -380,22 +386,30 @@ def slam_step(
     from ndtpso_slam_tpu.ops.geometry import cell_index, transform_points
 
     wpts = transform_points(scan.points, pose)
+    idx, inb = cell_index(
+        wpts, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
+        cells_per_side=cfg.map.cells_per_side,
+    )
+    ids = jnp.where(ingest_valid & inb, idx, cfg.map.num_cells)
     new_map = ndt_map.add_points(state.map, cfg.map, wpts, ingest_valid)
-    new_map = ndt_map.build(new_map, cfg.map)
+    # Sparse build: a scan can only change the cells it binned into (plus
+    # last scan's cells, for post-rotation slot eviction), and slam_step
+    # maintains the build-after-every-ingest invariant, so this is
+    # bit-identical to the dense ndt_map.build (and O(N) rows instead of the
+    # 6 full [C]-row ring-buffer passes that measured 157 ms/scan — 98% of
+    # the step — at the reference's 360k-cell default scale).
+    new_map = ndt_map.build_touched(
+        new_map, cfg.map, jnp.concatenate([ids, state.prev_ids])
+    )
     og = state.og
     if og is not None:
         # Incremental raster: only parent cells touched by this scan can
         # have changed Gaussians, so refreshing their sub-blocks reproduces
         # the dense og_update exactly (see occupancy.og_update_incremental).
-        idx, inb = cell_index(
-            wpts, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
-            cells_per_side=cfg.map.cells_per_side,
-        )
-        ids = jnp.where(ingest_valid & inb, idx, cfg.map.num_cells)
         og = occupancy.og_update_incremental(og, new_map, cfg.map, cfg.og, ids)
     new_state = SlamState(
         map=new_map, align=astate, og=og, pose=pose, step=state.step + 1,
-        fitness=fitness, recoveries=recoveries,
+        fitness=fitness, recoveries=recoveries, prev_ids=ids,
     )
     return new_state, pose, cost
 

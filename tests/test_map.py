@@ -125,3 +125,49 @@ def test_update_transforms_points():
     frame.update(pose, pts)
     frame.build()
     _compare(state, frame)
+
+
+def test_sparse_build_touched_matches_dense():
+    """build_touched over the scan's cell ids is bit-identical to the dense
+    build across multiple ingest->build rounds, slot rotations included
+    (the invariant slam_step maintains: a build after every ingestion)."""
+    from ndtpso_slam_tpu.ops.geometry import cell_index
+
+    rs = np.random.RandomState(7)
+    dense = ndt_map.init_map(CFG)
+    sparse = ndt_map.init_map(CFG)
+    prev_ids = np.full(40, CFG.num_cells, np.int32)
+    for rnd in range(12):
+        centers = rs.uniform(-6, 6, (3, 2))
+        pts = (
+            centers[rs.randint(0, 3, 40)] + rs.normal(0, 0.3, (40, 2))
+        ).astype(np.float32)
+        # include out-of-frame points and invalid beams
+        pts[:4] += 40.0
+        valid = rs.rand(40) > 0.15
+        idx, inb = cell_index(
+            pts, size_m=CFG.size_m, cell_side_m=CFG.cell_side_m,
+            cells_per_side=CFG.cells_per_side,
+        )
+        ids = np.where(np.asarray(valid & np.asarray(inb)), np.asarray(idx),
+                       CFG.num_cells).astype(np.int32)
+        dense = ndt_map.build(ndt_map.add_points(dense, CFG, pts, valid), CFG)
+        # Union with last round's ids: the build after a rotation evicts the
+        # stale slot even for untouched cells (see build_touched docstring).
+        sparse = ndt_map.build_touched(
+            ndt_map.add_points(sparse, CFG, pts, valid), CFG,
+            np.concatenate([ids, prev_ids]),
+        )
+        prev_ids = ids
+        for name in (
+            "mean_c", "inv_cov", "built", "g_sum", "g_count", "g_cov",
+            "slot_sum", "slot_count", "slot_cov", "slot_idx",
+            "cur_sum", "cur_count", "cur_m2",
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(dense, name)),
+                np.asarray(getattr(sparse, name)),
+                err_msg=f"round {rnd}: {name} diverged",
+            )
+    # rotations must actually have happened for this to prove anything
+    assert int(np.asarray(dense.slot_idx).max()) > 0
