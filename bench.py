@@ -61,7 +61,26 @@ def main():
                     "(reports aggregate solves/s and per-device efficiency)")
     ap.add_argument("--devices", type=int, default=None,
                     help="with --sharded: use only the first N devices")
+    ap.add_argument(
+        "--cpu-mesh", type=int, default=None, metavar="N",
+        help="force the CPU backend with N virtual devices "
+        "(xla_force_host_platform_device_count) — for measuring sharding/"
+        "collective scaling SHAPE without a pod; absolute numbers are not "
+        "TPU performance",
+    )
     args = ap.parse_args()
+    if args.cpu_mesh:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        ).strip()
+        import jax as _jax
+
+        # The image's sitecustomize pins the axon TPU platform
+        # programmatically; the env var alone is not honored.
+        _jax.config.update("jax_platforms", "cpu")
     if args.mode is None:
         args.mode = {"batch": "rollout_turbo", "slam": "local_exact",
                      "multiswarm": "fast"}[args.config]
@@ -155,11 +174,19 @@ def main():
 
     n_dev = 1
     if args.sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         n_dev = args.devices or len(jax.devices())
         assert b % n_dev == 0, f"--batch {b} must divide over {n_dev} devices"
         smesh = mesh_mod.make_mesh(n_dev)
         solver = mesh_mod.make_sharded_solver(
             smesh, map_cfg, pso_cfg, cost_mode=args.mode
+        )
+        # Inputs committed to device 0 above conflict with a >1-device mesh:
+        # re-place each batch-leading array sharded over the solve axis.
+        shard = NamedSharding(smesh, P(mesh_mod.SOLVE_AXIS))
+        snaps, q_pts, q_valid, keys, guesses, deviations = jax.device_put(
+            (snaps, q_pts, q_valid, keys, guesses, deviations), shard
         )
         log(f"sharded over {n_dev} devices ({b // n_dev} solves/device)")
         run = lambda: solver(keys, guesses, deviations, snaps, q_pts, q_valid)
