@@ -39,8 +39,8 @@ def main():
     ap.add_argument(
         "--mode", default=None,
         choices=["fast", "fast_fused", "fast_local", "fast_local_fused",
-                 "local_exact", "rollout", "rollout_bf16", "rollout_turbo",
-                 "rollout_turbo_bf16", "exact"],
+                 "fast_matmul", "local_exact", "rollout", "rollout_bf16",
+                 "rollout_turbo", "rollout_turbo_bf16", "exact"],
         help="default: rollout_turbo for batch, local_exact for slam "
         "(frozen-binding modes lose tracking at 0.5 m cells), fast for "
         "multiswarm",
@@ -389,10 +389,19 @@ def bench_multiswarm(args):
     # swarm's hypothesis, so the stencil binding doesn't apply here.  The
     # fused Pallas scoring kernel was measured SLOWER than XLA at this B=1,
     # K*P=65k shape (81.7 vs 96.5 relocs/s) — XLA already keeps this single
-    # big matmul chain efficient — so the XLA path stays.
-    cost_fn = lambda poses, bind: cost_mod.bound_cost(
-        poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
-    )
+    # big matmul chain efficient — so the XLA path stays.  'fast_matmul'
+    # replaces the per-iteration [N]-row binding gathers (serial on TPU)
+    # with the one-hot MXU matmul binder (bit-identical; cost.py:
+    # bind_points_matmul) — the right trade at relocalization map sizes.
+    if args.mode == "fast_matmul":
+        tbl = cost_mod.snapshot_table(snap)
+        cost_fn = lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points_matmul(bind, tbl, q.points, q.valid, map_cfg)
+        )
+    else:
+        cost_fn = lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
+        )
     run = jax.jit(lambda k, h: multi_swarm_solve(
         k, h, jnp.float32([0.6, 0.6, 0.1]), cost_fn, pso_cfg, exchange_every=5
     ))
@@ -416,7 +425,10 @@ def bench_multiswarm(args):
     relocs_per_s = args.reps / total
     log(f"{args.reps} reps -> {relocs_per_s:.2f} relocalizations/s")
     print(json.dumps({
-        "metric": f"multiswarm_relocalizations_per_s_{k_swarms}x{args.particles}p_{args.iters}i",
+        "metric": (
+            f"multiswarm_relocalizations_per_s_{k_swarms}x{args.particles}p_"
+            f"{args.iters}i_{args.mode}"
+        ),
         "value": round(relocs_per_s, 3),
         "unit": "relocs/s",
         "vs_baseline": round(relocs_per_s / (625.0 / 16.0), 4),

@@ -143,6 +143,54 @@ def _quadform_bound(
     return BoundScan(bind_pose=bind_pose, w=w, mask=mask)
 
 
+def snapshot_table(snap: MapSnapshot, dtype=jnp.float32) -> jnp.ndarray:
+    """Pack a snapshot into one [C, 6] table (mean, icov, built) — the
+    gatherable/matmul-able form shared by the stencil and matmul binders."""
+    return jnp.concatenate(
+        [
+            snap.mean.astype(dtype),
+            snap.inv_cov.astype(dtype),
+            snap.built.astype(dtype)[:, None],
+        ],
+        axis=-1,
+    )
+
+
+def bind_points_matmul(
+    bind_pose: jnp.ndarray,
+    tbl: jnp.ndarray,  # [C, 6] from snapshot_table
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: MapConfig,
+) -> BoundScan:
+    """Gather-free binding for small maps: a one-hot [N, C] matmul replaces
+    the per-row gather of :func:`bind_points`.
+
+    TPU gathers execute per ROW; a binding that re-runs every PSO iteration
+    over K swarms pays K·iters serial [N]-row gathers (the multi-swarm
+    relocalization profile).  Selecting each point's cell row as
+    ``onehot([N, C]) @ tbl([C, 6])`` instead is one MXU matmul — the iota
+    compare fuses into the operand, nothing serializes.  Exact: each one-hot
+    row has a single nonzero, so the f32 accumulation reproduces the gathered
+    row bit-for-bit.  Work is O(N·C), the right trade only while C stays
+    small (relocalization maps, ≤ ~16k cells); the SLAM map default
+    (360k cells) should keep the stencil/gather paths.
+    """
+    q0 = transform_points(points, bind_pose)
+    idx, inb = cell_index(
+        q0, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m,
+        cells_per_side=cfg.cells_per_side,
+    )
+    c = tbl.shape[0]
+    onehot = (
+        idx[:, None] == jnp.arange(c, dtype=idx.dtype)[None, :]
+    ).astype(points.dtype)  # [N, C]
+    g = jnp.dot(onehot, tbl, preferred_element_type=points.dtype)  # [N, 6]
+    mean, icov = g[:, 0:2], g[:, 2:5]
+    mask = ((g[:, 5] > 0.5) & inb & valid).astype(points.dtype)
+    return _quadform_bound(bind_pose, points, mean, icov, mask)
+
+
 class NeighborhoodBind(struct.PyTreeNode):
     """Per-point stencil of map cells around an anchor pose.
 
@@ -199,14 +247,7 @@ def bind_neighborhood(
     # K2*8 floats — one wide gather per solve.  Rolls wrap across grid rows
     # and borders; every wrapped entry has ``in_grid`` False there, which
     # forces ``built`` False, so wrapped statistics are never read.
-    tbl = jnp.concatenate(
-        [
-            snap.mean.astype(dtype),
-            snap.inv_cov.astype(dtype),
-            snap.built.astype(dtype)[:, None],
-        ],
-        axis=-1,
-    )  # [C, 6]
+    tbl = snapshot_table(snap, dtype)  # [C, 6]
     flat_off = dj * w_cells + di  # [K2] numpy, static
     rolled = jnp.stack(
         [jnp.roll(tbl, -int(o), axis=0) for o in flat_off], axis=1

@@ -115,3 +115,22 @@ def test_stencil_exact_cost_zero_outside_stencil():
     far = np.float32([[5.0, 5.0, 0.0]])
     got = float(cost_mod.stencil_exact_cost(far, nbr, scan, CFG)[0])
     assert got == 0.0
+
+
+def test_bind_points_matmul_matches_gather():
+    """The one-hot matmul binder reproduces bind_points bit-for-bit (a
+    single-nonzero one-hot row accumulates exactly the gathered row)."""
+    state, _, scan = _build_pair(seed=3)
+    snap = ndt_map.snapshot(state, CFG)
+    # include points outside the frame so the in-bounds masking is covered
+    scan = np.concatenate([scan, scan[:5] + 30.0]).astype(np.float32)
+    valid = np.ones(len(scan), bool)
+    valid[7] = False
+    tbl = cost_mod.snapshot_table(snap)
+    rs = np.random.RandomState(9)
+    for _ in range(5):
+        pose = rs.uniform(-0.4, 0.4, 3).astype(np.float32)
+        ref = cost_mod.bind_points(pose, snap, scan, valid, CFG)
+        got = cost_mod.bind_points_matmul(pose, tbl, scan, valid, CFG)
+        np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(got.mask))
+        np.testing.assert_array_equal(np.asarray(ref.w), np.asarray(got.w))
