@@ -15,6 +15,7 @@ Prints exactly ONE JSON line on stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -314,8 +315,13 @@ def bench_slam(args):
     if args.full_scale:
         # Reference deployment scale (`launch/scan.launch:10-16`,
         # `ndtpso_slam_node.hpp:25-34`, `config.h:8`): 300 m frame, 0.5 m
-        # cells (360k cells), 100-slot window, 0.1 m occupancy grid.
+        # cells (360k cells), 100-slot window, 0.1 m occupancy grid.  The
+        # stencil binders roll a scan-sized patch instead of the 360k-cell
+        # table (cost.py:bind_neighborhood).
         map_cfg = cfgm.MapConfig(size_m=300.0, cell_side_m=0.5, window_slots=100)
+        map_cfg = dataclasses.replace(
+            map_cfg, stencil_patch_cells=map_cfg.patch_cells_for_range(30.0)
+        )
     else:
         map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
     cfg = cfgm.SlamConfig(

@@ -74,6 +74,15 @@ class MapConfig:
     cell_side_m: float = DEFAULT_CELL_SIZE_M
     window_slots: int = NDT_WINDOW_SIZE
     slot_capacity: int = NDT_MAX_POINTS_PER_CELL
+    # Stencil-binding patch side in cells (0 = whole grid).  The stencil
+    # binders (`models/cost.py:bind_neighborhood`) pre-roll a packed cell
+    # table by every stencil offset; on large maps that table dwarfs the
+    # span of one scan (216 MB vs ~600 KB at the 300 m / 0.5 m defaults), so
+    # a dynamic-slice patch around the solve's anchor pose is rolled
+    # instead.  Must cover the scan: >= 2*range_max/cell_side + 2*radius,
+    # see `patch_cells_for_range`.  Scores outside the patch are 0 (the
+    # out-of-map convention), bit-identical otherwise.
+    stencil_patch_cells: int = 0
 
     @property
     def cells_per_side(self) -> int:
@@ -88,6 +97,15 @@ class MapConfig:
     def half_size_m(self) -> float:
         # s_x_min/s_x_max = ∓width/2 (ndtframe.cpp:57-65)
         return self.size_m / 2.0
+
+    def patch_cells_for_range(self, range_max_m: float, radius: int = 2,
+                              margin_cells: int = 8) -> int:
+        """Smallest stencil patch (multiple of 8) covering a scan of
+        ``range_max_m`` around its anchor, incl. stencil radius and a motion
+        margin; capped at the grid side (cap = whole-grid semantics)."""
+        need = int(math.ceil(2.0 * range_max_m / self.cell_side_m)) + 2 * radius + margin_cells
+        need = (need + 7) // 8 * 8
+        return min(need, self.cells_per_side)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,7 @@ the cell's unnormalized Gaussian score.  Two TPU formulations live here:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -227,7 +228,18 @@ def bind_neighborhood(
 ) -> NeighborhoodBind:
     """Gather each point's (2r+1)² cell stencil at the anchor pose (the PSO
     initial guess).  One batched gather per solve, amortized over all
-    iterations."""
+    iterations.
+
+    With ``cfg.stencil_patch_cells`` set (> 0), the rolled stencil table is
+    built over a ``patch × patch`` `dynamic_slice` of the grid centred on
+    the anchor pose instead of the full [C] table: at the reference's
+    deployment scale (360k cells) the full rolled table is 216 MB of HBM
+    traffic per solve, while a scan only ever spans ``2·range_max/cell_side``
+    cells (120 at the defaults) — a 128-cell patch is ~600 KB.  A point (or
+    stencil neighbor) falling outside the patch scores 0, identical to the
+    out-of-map convention, so results match the full-table path exactly
+    whenever the patch covers the scan (`tests/test_cost.py`).
+    """
     dtype = points.dtype
     w_cells = cfg.cells_per_side
     q0 = transform_points(points, anchor_pose)  # [N, 2]
@@ -242,18 +254,39 @@ def bind_neighborhood(
 
     # TPU gathers pay per ROW, so gathering [N, K2] separate 8-32 B rows is
     # ~75x more rows than necessary (profiled at ~50 ms for 64 solves).
-    # Instead: pack (mean, icov, built) into one [C, 8] table, pre-roll it by
-    # each stencil offset ([C, K2, 8], pure shifts), and gather N rows of
-    # K2*8 floats — one wide gather per solve.  Rolls wrap across grid rows
+    # Instead: pack (mean, icov, built) into one [C, 6] table, pre-roll it by
+    # each stencil offset ([C, K2, 6], pure shifts), and gather N rows of
+    # K2*6 floats — one wide gather per solve.  Rolls wrap across grid rows
     # and borders; every wrapped entry has ``in_grid`` False there, which
     # forces ``built`` False, so wrapped statistics are never read.
     tbl = snapshot_table(snap, dtype)  # [C, 6]
-    flat_off = dj * w_cells + di  # [K2] numpy, static
+    ps = cfg.stencil_patch_cells
+    if 0 < ps < w_cells:
+        # Patch origin: anchor-pose cell minus half the patch, clamped so the
+        # patch stays inside the grid.
+        cx, cy, _ = cell_coords(
+            anchor_pose[..., :2], size_m=cfg.size_m, cell_side_m=cfg.cell_side_m
+        )
+        ox = jnp.clip(cx - ps // 2, 0, w_cells - ps)
+        oy = jnp.clip(cy - ps // 2, 0, w_cells - ps)
+        patch = jax.lax.dynamic_slice(
+            tbl.reshape(w_cells, w_cells, 6), (oy, ox, 0), (ps, ps, 6)
+        ).reshape(ps * ps, 6)
+        ix_l, iy_l = ix - ox, iy - oy
+        in_patch = (
+            (nix - ox >= 0) & (nix - ox < ps) & (niy - oy >= 0) & (niy - oy < ps)
+        )
+        in_grid = in_grid & in_patch
+        tbl, w_roll = patch, ps
+        bx, by = jnp.clip(ix_l, 0, ps - 1), jnp.clip(iy_l, 0, ps - 1)
+    else:
+        w_roll = w_cells
+        bx, by = jnp.clip(ix, 0, w_cells - 1), jnp.clip(iy, 0, w_cells - 1)
+    flat_off = dj * w_roll + di  # [K2] numpy, static
     rolled = jnp.stack(
         [jnp.roll(tbl, -int(o), axis=0) for o in flat_off], axis=1
-    )  # [C, K2, 6]
-    base = jnp.clip(ix, 0, w_cells - 1) + w_cells * jnp.clip(iy, 0, w_cells - 1)
-    g = rolled[base]  # [N, K2, 6] — single N-row gather
+    )  # [C or ps², K2, 6]
+    g = rolled[bx + w_roll * by]  # [N, K2, 6] — single N-row gather
     return NeighborhoodBind(
         anchor_ix=ix,
         anchor_iy=iy,

@@ -67,8 +67,23 @@ class NodeConfig:
     recovery: bool = False
     recovery_fitness_threshold: float = 0.15
     recovery_hypotheses: int = 8
+    # Max laser range the stencil patch must cover (m); 0 disables patching.
+    # On large frames the stencil binders then roll a scan-sized
+    # dynamic-slice window instead of the whole cell table (cost.py:
+    # bind_neighborhood) — identical results while scans stay within range.
+    patch_range_m: float = 30.0
 
     def slam_config(self) -> cfgm.SlamConfig:
+        map_cfg = cfgm.MapConfig(
+            size_m=self.frame_size_m,
+            cell_side_m=self.cell_side_m,
+            window_slots=self.window_slots,
+        )
+        if self.patch_range_m > 0:
+            map_cfg = dataclasses.replace(
+                map_cfg,
+                stencil_patch_cells=map_cfg.patch_cells_for_range(self.patch_range_m),
+            )
         return cfgm.SlamConfig(
             pso=cfgm.PSOConfig(
                 iterations=self.pso_iterations,
@@ -78,11 +93,7 @@ class NodeConfig:
                 c2=self.pso_c2,
                 w_damping=self.pso_w_damping,
             ),
-            map=cfgm.MapConfig(
-                size_m=self.frame_size_m,
-                cell_side_m=self.cell_side_m,
-                window_slots=self.window_slots,
-            ),
+            map=map_cfg,
             scan=cfgm.ScanConfig(max_beams=self.max_beams),
             og=cfgm.OccupancyGridConfig(
                 cell_size_m=self.og_cell_size_m, enabled=self.build_og

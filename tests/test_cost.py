@@ -134,3 +134,54 @@ def test_bind_points_matmul_matches_gather():
         got = cost_mod.bind_points_matmul(pose, tbl, scan, valid, CFG)
         np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(got.mask))
         np.testing.assert_array_equal(np.asarray(ref.w), np.asarray(got.w))
+
+
+def test_patch_stencil_matches_full_roll():
+    """A patch-local stencil bind (stencil_patch_cells) is bit-identical to
+    the whole-grid rolled table whenever the patch covers the scan — for the
+    bind arrays, the per-iteration local rebinding, and the per-particle
+    stencil-exact cost."""
+    import dataclasses
+
+    # A grid big enough that the patch is a strict sub-window, and an anchor
+    # far off-centre so the patch-origin clamping is exercised too.
+    big = dataclasses.replace(CFG, size_m=64.0)
+    state_b = ndt_map.init_map(big)
+    rs = np.random.RandomState(5)
+    pts = rs.uniform(-12, 12, (400, 2)).astype(np.float32)
+    state_b = ndt_map.add_points(state_b, big, pts, np.ones(400, bool))
+    state_b = ndt_map.build(state_b, big)
+    snap = ndt_map.snapshot(state_b, big)
+    scan = (pts[rs.choice(400, 100, replace=False)]
+            + rs.normal(0, 0.02, (100, 2))).astype(np.float32)
+    valid = np.ones(len(scan), bool)
+    for anchor in (np.float32([0.15, -0.1, 0.08]), np.float32([-25.0, 24.0, 0.4])):
+        cfg_p = dataclasses.replace(
+            big, stencil_patch_cells=big.patch_cells_for_range(13.0)
+        )
+        assert 0 < cfg_p.stencil_patch_cells < big.cells_per_side
+        full = cost_mod.bind_neighborhood(anchor, snap, scan, valid, big)
+        patch = cost_mod.bind_neighborhood(anchor, snap, scan, valid, cfg_p)
+        for name in ("anchor_ix", "anchor_iy", "built", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, name)), np.asarray(getattr(patch, name)),
+                err_msg=f"{name} diverged (anchor {anchor})",
+            )
+        # mean/icov are only defined where built (unbuilt lanes hold
+        # clamp-dependent garbage that the cost paths mask away).
+        b = np.asarray(full.built)
+        for name in ("mean", "icov"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, name))[b],
+                np.asarray(getattr(patch, name))[b],
+                err_msg=f"{name} diverged where built (anchor {anchor})",
+            )
+        poses = (anchor + np.random.RandomState(6).uniform(-0.3, 0.3, (32, 3))
+                 ).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cost_mod.stencil_exact_cost(poses, full, scan, big)),
+            np.asarray(cost_mod.stencil_exact_cost(poses, patch, scan, cfg_p)),
+        )
+        b_full = cost_mod.bind_points_local(anchor, full, scan, big)
+        b_patch = cost_mod.bind_points_local(anchor, patch, scan, cfg_p)
+        np.testing.assert_array_equal(np.asarray(b_full.w), np.asarray(b_patch.w))
