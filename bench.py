@@ -402,7 +402,9 @@ def bench_multiswarm(args):
     from ndtpso_slam_tpu import config as cfgm
     from ndtpso_slam_tpu.io import synthetic
     from ndtpso_slam_tpu.models import cost as cost_mod, ndt_map, scan as scan_mod
-    from ndtpso_slam_tpu.parallel.multi_swarm import multi_swarm_solve
+    from ndtpso_slam_tpu.parallel.multi_swarm import (
+        multi_swarm_rollout, multi_swarm_solve,
+    )
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -445,18 +447,31 @@ def bench_multiswarm(args):
     # replaces the per-iteration [N]-row binding gathers (serial on TPU)
     # with the one-hot MXU matmul binder (bit-identical; cost.py:
     # bind_points_matmul) — the right trade at relocalization map sizes.
-    if args.mode == "fast_matmul":
-        tbl = cost_mod.snapshot_table(snap)
-        cost_fn = lambda poses, bind: cost_mod.bound_cost(
-            poses, cost_mod.bind_points_matmul(bind, tbl, q.points, q.valid, map_cfg)
-        )
+    if args.mode.startswith("rollout"):
+        # Island-model: K swarms as one B=K batch of the whole-solve Pallas
+        # rollout kernel, exact-cost final merge (multi_swarm_rollout).  No
+        # periodic exchange — for spread relocalization hypotheses the
+        # exchange is a diversity loss, and the VMEM-resident rollout
+        # removes all per-iteration HBM traffic.
+        run = jax.jit(lambda k, h: multi_swarm_rollout(
+            k, h, jnp.float32([0.6, 0.6, 0.1]), snap, q.points, q.valid,
+            pso_cfg, map_cfg,
+            score_dtype="bf16" if "bf16" in args.mode else "f32",
+            rng_mode="native" if "turbo" in args.mode else "threefry",
+        ))
     else:
-        cost_fn = lambda poses, bind: cost_mod.bound_cost(
-            poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
-        )
-    run = jax.jit(lambda k, h: multi_swarm_solve(
-        k, h, jnp.float32([0.6, 0.6, 0.1]), cost_fn, pso_cfg, exchange_every=5
-    ))
+        if args.mode == "fast_matmul":
+            tbl = cost_mod.snapshot_table(snap)
+            cost_fn = lambda poses, bind: cost_mod.bound_cost(
+                poses, cost_mod.bind_points_matmul(bind, tbl, q.points, q.valid, map_cfg)
+            )
+        else:
+            cost_fn = lambda poses, bind: cost_mod.bound_cost(
+                poses, cost_mod.bind_points(bind, snap, q.points, q.valid, map_cfg)
+            )
+        run = jax.jit(lambda k, h: multi_swarm_solve(
+            k, h, jnp.float32([0.6, 0.6, 0.1]), cost_fn, pso_cfg, exchange_every=5
+        ))
     t0 = time.time()
     res = run(keys, hypo)
     jax.block_until_ready(res)

@@ -21,7 +21,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ndtpso_slam_tpu.config import PSOConfig, ZERO_DEVIATION
+from ndtpso_slam_tpu.config import MapConfig, PSOConfig, ZERO_DEVIATION
+from ndtpso_slam_tpu.models import cost as cost_mod
 from ndtpso_slam_tpu.models.pso import CostFn, PsoResult, _select_min
 from ndtpso_slam_tpu.ops import rng
 
@@ -178,4 +179,67 @@ def multi_swarm_solve(
     )
     *_, gbest, gbest_cost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
     best_pose, best_cost = _global_merge(gbest, gbest_cost, all_axes)
+    return PsoResult(pose=best_pose, cost=best_cost)
+
+
+def multi_swarm_rollout(
+    keys: jnp.ndarray,  # [K, 2] uint32, one key per swarm
+    guesses: jnp.ndarray,  # [K, 3] per-swarm hypotheses
+    deviation: jnp.ndarray,  # [3] shared search radius
+    snap,  # MapSnapshot of the shared global map
+    points: jnp.ndarray,  # [N, 2] query scan (lane-aligned N)
+    valid: jnp.ndarray,  # [N] bool
+    cfg: PSOConfig,
+    map_cfg: MapConfig,
+    axis_name: Optional[str] = None,
+    score_dtype: str = "f32",
+    rng_mode: str = "threefry",
+    interpret: bool = False,
+) -> PsoResult:
+    """Island-model multi-swarm through the whole-rollout Pallas kernel.
+
+    `multi_swarm_solve` runs the K-swarm loop in XLA with a periodic
+    cross-swarm global-best exchange; this variant instead runs the K swarms
+    as one B=K batch of the whole-solve rollout kernel
+    (ops/pallas_rollout.py) — every swarm's entire PSO loop stays in VMEM
+    with zero per-iteration HBM traffic — and merges ONCE at the end.  For
+    relocalization (BASELINE config 4: spread hypotheses against one global
+    map) the islands-with-final-merge topology is exactly what you want:
+    exchange would pull every swarm into the current best basin, which is a
+    diversity loss, not a gain (cf. models/slam.py:_relocalize, which keeps
+    all hypotheses alive to the exact stage for the same reason).
+
+    Each swarm binds its stencil at its OWN hypothesis (the per-swarm
+    analogue of the frozen-correspondence binding in `multi_swarm_solve`),
+    so per-swarm rollout costs are not mutually comparable; the final merge
+    therefore re-scores every swarm's winning pose with the exact gather
+    cost (K poses, one gather — negligible) and picks on the true NDT
+    objective.  Inside `shard_map`, pass ``axis_name`` to merge across
+    devices too.  Returns the single best (pose [3], exact cost []).
+    """
+    k = guesses.shape[0]
+    radius = cost_mod.DEFAULT_STENCIL_RADIUS
+    guesses = guesses.astype(jnp.float32)
+    nbr = jax.vmap(
+        lambda g: cost_mod.bind_neighborhood(
+            g, snap, points, valid, map_cfg, radius=radius
+        )
+    )(guesses)
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_inputs, pso_rollout,
+    )
+
+    sten, pts = jax.vmap(lambda n: pack_rollout_inputs(n, points))(nbr)
+    devs = jnp.broadcast_to(jnp.asarray(deviation, jnp.float32), (k, 3))
+    poses, _ = pso_rollout(
+        keys, guesses, devs, sten, pts, cfg, map_cfg,
+        radius=radius, interpret=interpret,
+        score_dtype=score_dtype, rng_mode=rng_mode,
+    )
+    exact = cost_mod.ndt_cost(poses, snap, points, valid, map_cfg)  # [K]
+    best_cost, best_pose = _select_min(exact, poses)
+    if axis_name is not None:
+        all_costs = jax.lax.all_gather(best_cost, axis_name, tiled=False)
+        all_poses = jax.lax.all_gather(best_pose, axis_name, tiled=False)
+        best_cost, best_pose = _select_min(all_costs, all_poses)
     return PsoResult(pose=best_pose, cost=best_cost)

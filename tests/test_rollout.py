@@ -133,6 +133,54 @@ def test_rollout_bf16_close_to_f32(world):
     )
 
 
+def test_multi_swarm_rollout_relocalizes(world):
+    """Island-model multiswarm through the rollout kernel: spread hypotheses
+    against one shared map, exact-cost final merge picks the true basin
+    (parallel/multi_swarm.py:multi_swarm_rollout)."""
+    from ndtpso_slam_tpu.parallel.multi_swarm import multi_swarm_rollout
+
+    snap, pts = world
+    true = np.float32([0.3, -0.2, 0.05])
+    c, s = np.cos(true[2]), np.sin(true[2])
+    moved = np.stack(
+        [pts[:, 0] * c - pts[:, 1] * s + true[0],
+         pts[:, 0] * s + pts[:, 1] * c + true[1]], -1
+    ).astype(np.float32)
+    inv = np.float32([-(true[0] * c + true[1] * s),
+                      true[0] * s - true[1] * c, -true[2]])
+    n_pad = 256
+    points = np.zeros((n_pad, 2), np.float32)
+    points[:200] = moved
+    valid = np.zeros(n_pad, bool)
+    valid[:200] = True
+    rs = np.random.RandomState(7)
+    k = 4
+    keys = rs.randint(0, 2**31, (k, 2)).astype(np.uint32)
+    # One hypothesis near the truth, the rest far off — the exact-cost merge
+    # must pick the true basin's swarm.
+    hypo = inv + rs.uniform(-1.0, 1.0, (k, 3)).astype(np.float32) * np.float32(
+        [1, 1, 0.1]
+    )
+    hypo[1] = inv + np.float32([0.15, -0.1, 0.02])
+    cfg = cfgm.PSOConfig(iterations=15, population=128)
+    res = multi_swarm_rollout(
+        jnp.asarray(keys), jnp.asarray(hypo), np.float32([0.4, 0.4, 0.08]),
+        snap, jnp.asarray(points), jnp.asarray(valid), cfg, MAP_CFG,
+        interpret=jax.default_backend() != "tpu",
+    )
+    pose = np.asarray(res.pose)
+    assert np.abs(pose[:2] - inv[:2]).max() < 0.07
+    assert abs(pose[2] - inv[2]) < 0.03
+    # The merged cost is the exact NDT objective of the returned pose.
+    from ndtpso_slam_tpu.models import cost as cost_mod
+
+    expected = cost_mod.ndt_cost(
+        pose[None].astype(np.float32), snap, jnp.asarray(points),
+        jnp.asarray(valid), MAP_CFG,
+    )[0]
+    np.testing.assert_allclose(float(res.cost), float(expected), rtol=1e-5)
+
+
 def test_rollout_turbo_converges_to_truth(world):
     """Turbo mode (hardware PRNG, not the parity Threefry stream) still
     recovers a known SE(2) offset — distribution-level equivalence."""
