@@ -30,7 +30,9 @@ from ndtpso_slam_tpu.models.slam import (
     SlamState,
     align,
     init_slam,
+    init_slam_batch,
     run_offline,
+    run_offline_batch,
     slam_step,
 )
 

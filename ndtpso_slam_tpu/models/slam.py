@@ -432,3 +432,36 @@ def run_offline(
 
     (state, _), (poses, costs) = jax.lax.scan(step, (state, 0), scans)
     return state, poses, costs
+
+
+def init_slam_batch(cfg: SlamConfig, initial_poses) -> SlamState:
+    """B independent session states stacked on a leading robot axis.
+
+    initial_poses: [B, 3] array-like.  Counterpart of deploying one node per
+    LiDAR (`launch/lidar_front.launch:2,11-14` / `lidar_back.launch`) — each
+    robot/sensor owns a private map and pose history.
+    """
+    poses = jnp.asarray(initial_poses, cfg.dtype)
+    return jax.vmap(lambda p: init_slam(cfg, (p[0], p[1], p[2])))(poses)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_offline_batch(
+    states: SlamState, scans: Scan, base_keys, cfg: SlamConfig
+) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray]:
+    """B independent SLAM sessions as ONE vmapped `lax.scan` program.
+
+    The reference scales to multiple LiDARs by launching one OS process per
+    sensor with remapped topics (`launch/lidar_front.launch`,
+    `launch/lidar_back.launch` — SURVEY §2 parallelism item 2); here the
+    whole fleet is a leading batch axis, so B mapping sessions share one XLA
+    program and the chip pipelines their solves.  No state is shared between
+    robots, exactly as between the reference's node instances.
+
+    states: stacked session states ([B] leading axis, `init_slam_batch`);
+    scans: Scan with [B, T, ...] axes; base_keys: [B, 2] uint32.
+    Returns (final_states, poses [B, T, 3], costs [B, T]).
+    """
+    return jax.vmap(
+        lambda st, sc, k: run_offline(st, sc, k, cfg)
+    )(states, scans, jnp.asarray(base_keys, jnp.uint32))

@@ -82,6 +82,40 @@ def test_slam_step_streaming_matches_offline():
     )
 
 
+def test_batched_sessions_match_independent_runs():
+    """B vmapped SLAM sessions (the dual-LiDAR front/back deployment as one
+    XLA program, `launch/lidar_front.launch`) == B separate run_offline
+    calls, bitwise: no state leaks between robots."""
+    cfg = _small_cfg("fast")
+    logs = [
+        synthetic.make_log(seed=s, n_scans=5, n_beams=360, world_size=40.0)
+        for s in (8, 9)
+    ]
+    scans = [_load_scans(lg, cfg) for lg in logs]
+    keys = np.array([[11, 12], [13, 14]], np.uint32)
+
+    sep = []
+    for lg, sc, k in zip(logs, scans, keys):
+        st = slam.init_slam(cfg, initial_pose=tuple(lg.poses[0]))
+        _, poses, costs = slam.run_offline(st, sc, (k[0], k[1]), cfg)
+        sep.append((np.asarray(poses), np.asarray(costs)))
+
+    states = slam.init_slam_batch(
+        cfg, np.stack([lg.poses[0] for lg in logs]).astype(np.float32)
+    )
+    batched_scans = scan_mod.Scan(
+        points=jnp.stack([s.points for s in scans]),
+        valid=jnp.stack([s.valid for s in scans]),
+    )
+    fstates, poses_b, costs_b = slam.run_offline_batch(
+        states, batched_scans, keys, cfg
+    )
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(poses_b)[b], sep[b][0])
+        np.testing.assert_array_equal(np.asarray(costs_b)[b], sep[b][1])
+    assert fstates.map.built.shape[0] == 2
+
+
 def test_first_scan_keeps_prior_pose():
     cfg = _small_cfg("exact")
     log = synthetic.make_log(seed=5, n_scans=2, n_beams=360, world_size=40.0)
