@@ -96,6 +96,11 @@ def main():
     )
     ap.add_argument("--og", action="store_true",
                     help="slam config: build the occupancy grid raster")
+    ap.add_argument("--robots", type=int, default=1,
+                    help="slam config: run N independent SLAM sessions as "
+                    "one vmapped program (run_offline_batch) and report "
+                    "aggregate scans/s — the reference's one-process-per-"
+                    "LiDAR deployment (lidar_front/back.launch) on one chip")
     ap.add_argument("--full-scale", action="store_true",
                     help="slam config: reference deployment scale "
                     "(300 m frame, 0.5 m cells, 100-slot window, 0.1 m OG)")
@@ -336,33 +341,59 @@ def bench_slam(args):
         ),
     )
     t0 = time.time()
+    b = args.robots
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         n_scans = 50
-        lg = synthetic.make_log(seed=2, n_scans=n_scans, n_beams=args.beams,
-                                world_size=50.0)
-        loaded = [
-            scan_mod.load_laser(r, lg.angle_min, lg.angle_increment,
-                                lg.range_max, cfg.scan, cfg.map)
-            for r in lg.ranges
+        logs = [
+            synthetic.make_log(seed=2 + r, n_scans=n_scans,
+                               n_beams=args.beams, world_size=50.0)
+            for r in range(b)
         ]
-        scans = scan_mod.Scan(
-            points=jnp.stack([s.points for s in loaded]),
-            valid=jnp.stack([s.valid for s in loaded]),
-        )
-        state0 = slam.init_slam(cfg, initial_pose=tuple(lg.poses[0]))
-    key = (np.uint32(3), np.uint32(9))
-    scans, state0 = jax.device_put((scans, state0), dev)
-    log(f"setup {time.time()-t0:.1f}s; T={n_scans} P={cfg.pso.population} "
-        f"I={cfg.pso.iterations}")
 
-    run = lambda: slam.run_offline(state0, scans, key, cfg)
+        def load_log(lg):
+            loaded = [
+                scan_mod.load_laser(r, lg.angle_min, lg.angle_increment,
+                                    lg.range_max, cfg.scan, cfg.map)
+                for r in lg.ranges
+            ]
+            return scan_mod.Scan(
+                points=jnp.stack([s.points for s in loaded]),
+                valid=jnp.stack([s.valid for s in loaded]),
+            )
+
+        per_robot = [load_log(lg) for lg in logs]
+        if b == 1:
+            scans = per_robot[0]
+            state0 = slam.init_slam(cfg, initial_pose=tuple(logs[0].poses[0]))
+        else:
+            scans = scan_mod.Scan(
+                points=jnp.stack([s.points for s in per_robot]),
+                valid=jnp.stack([s.valid for s in per_robot]),
+            )
+            state0 = slam.init_slam_batch(
+                cfg, np.stack([lg.poses[0] for lg in logs]).astype(np.float32)
+            )
+    scans, state0 = jax.device_put((scans, state0), dev)
+    log(f"setup {time.time()-t0:.1f}s; B={b} T={n_scans} "
+        f"P={cfg.pso.population} I={cfg.pso.iterations}")
+
+    if b == 1:
+        key = (np.uint32(3), np.uint32(9))
+        run = lambda: slam.run_offline(state0, scans, key, cfg)
+    else:
+        keys = np.stack(
+            [np.full(b, 3, np.uint32), np.arange(9, 9 + b, dtype=np.uint32)],
+            -1,
+        )
+        run = lambda: slam.run_offline_batch(state0, scans, keys, cfg)
     t0 = time.time()
     _, poses, _ = run()
     jax.block_until_ready(poses)
     log(f"compile+first run {time.time()-t0:.1f}s")
-    p = np.asarray(poses)  # drain
-    err = np.hypot(p[:, 0] - lg.poses[:, 0], p[:, 1] - lg.poses[:, 1])
+    p = np.asarray(poses).reshape(b, n_scans, 3)  # drain
+    gt = np.stack([lg.poses for lg in logs])
+    err = np.hypot(p[..., 0] - gt[..., 0], p[..., 1] - gt[..., 1])
     log(f"traj err: mean {err.mean():.4f} m, max {err.max():.4f} m")
     # Gate calibrated to the reference's own 30x50 budget at 0.5 m cells
     # (local_exact/exact measure mean ~0.18 / max ~0.27 on this workload);
@@ -377,18 +408,20 @@ def bench_slam(args):
     outs = [run() for _ in range(args.reps)]
     jax.block_until_ready(outs[-1][1])
     total = time.time() - t0
-    scans_per_s = n_scans * args.reps / total
-    log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s (LiDAR rate 10 Hz)")
+    scans_per_s = b * n_scans * args.reps / total
+    log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s aggregate over {b} "
+        f"robot(s) (LiDAR rate 10 Hz)")
     scale = "_fullscale" if args.full_scale else ""
     og = "_og" if args.og else ""
+    robots = f"_{b}robots" if b > 1 else ""
     print(json.dumps({
         "metric": (
             f"sequential_slam_scans_per_s_{cfg.pso.population}p_"
-            f"{cfg.pso.iterations}i_{cfg.cost_mode}{scale}{og}"
+            f"{cfg.pso.iterations}i_{cfg.cost_mode}{scale}{og}{robots}"
         ),
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_s / 10.0, 4),
+        "vs_baseline": round(scans_per_s / (10.0 * b), 4),
     }))
 
 
