@@ -104,6 +104,11 @@ def main():
     ap.add_argument("--full-scale", action="store_true",
                     help="slam config: reference deployment scale "
                     "(300 m frame, 0.5 m cells, 100-slot window, 0.1 m OG)")
+    ap.add_argument("--soak", type=int, default=None, metavar="T",
+                    help="slam config: long-soak mode — T scans (1000+) on a "
+                    "~157 m warehouse loop at full deployment scale; asserts "
+                    "the sliding-window ring actually WRAPS (eviction "
+                    "exercised) and reports end-to-end drift")
     ap.add_argument("--sharded", action="store_true",
                     help="batch config: shard solves over all visible devices "
                     "(reports aggregate solves/s and per-device efficiency)")
@@ -317,6 +322,8 @@ def bench_slam(args):
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
+    if args.soak:
+        args.full_scale = True  # soak is defined at deployment scale
     if args.full_scale:
         # Reference deployment scale (`launch/scan.launch:10-16`,
         # `ndtpso_slam_node.hpp:25-34`, `config.h:8`): 300 m frame, 0.5 m
@@ -344,12 +351,25 @@ def bench_slam(args):
     b = args.robots
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        n_scans = 50
-        logs = [
-            synthetic.make_log(seed=2 + r, n_scans=n_scans,
-                               n_beams=args.beams, world_size=50.0)
-            for r in range(b)
-        ]
+        if args.soak:
+            # 1200-scan default: one full 157 m loop of a pillar hall.  The
+            # central pillars stay in LiDAR range the whole run, so their
+            # cells' sliding windows rotate >window_slots times — the
+            # wraparound/eviction regime (`ndtcell.cpp:61-65` mod-100) that
+            # a 50-scan bench never reaches.
+            n_scans = args.soak
+            logs = [
+                synthetic.make_soak_log(seed=2 + r, n_scans=n_scans,
+                                        n_beams=args.beams)
+                for r in range(b)
+            ]
+        else:
+            n_scans = 50
+            logs = [
+                synthetic.make_log(seed=2 + r, n_scans=n_scans,
+                                   n_beams=args.beams, world_size=50.0)
+                for r in range(b)
+            ]
 
         def load_log(lg):
             loaded = [
@@ -388,20 +408,48 @@ def bench_slam(args):
         )
         run = lambda: slam.run_offline_batch(state0, scans, keys, cfg)
     t0 = time.time()
-    _, poses, _ = run()
+    final_state, poses, _ = run()
     jax.block_until_ready(poses)
     log(f"compile+first run {time.time()-t0:.1f}s")
     p = np.asarray(poses).reshape(b, n_scans, 3)  # drain
     gt = np.stack([lg.poses for lg in logs])
     err = np.hypot(p[..., 0] - gt[..., 0], p[..., 1] - gt[..., 1])
-    log(f"traj err: mean {err.mean():.4f} m, max {err.max():.4f} m")
-    # Gate calibrated to the reference's own 30x50 budget at 0.5 m cells
-    # (local_exact/exact measure mean ~0.18 / max ~0.27 on this workload);
-    # the frozen-binding failure this guards against measured mean 1.46.
-    assert err.mean() < 0.35 and err.max() < 0.7, (
-        f"SLAM trajectory accuracy regressed: mean {err.mean():.4f} m, "
-        f"max {err.max():.4f} m"
-    )
+    per_robot = err.mean(axis=1)
+    log(f"traj err: mean {err.mean():.4f} m, max {err.max():.4f} m, "
+        f"worst robot mean {per_robot.max():.4f} m")
+    if args.soak:
+        # Scan-to-map drift accumulates over a 157 m loop with no loop
+        # closure (the reference has none either); the gate bounds drift
+        # rate, not absolute error: <1% of the ~157 m traversed.
+        assert per_robot.max() < 1.0 and err.max() < 2.5, (
+            f"soak drift regressed: per-robot mean {np.round(per_robot, 4)} "
+            f"m, max {err.max():.4f} m over ~157 m traversed"
+        )
+        rot = np.asarray(final_state.map.rot_count).reshape(b, -1)
+        wrapped_cells = (rot >= cfg.map.window_slots).sum(axis=-1)
+        log(f"ring rotations: max {rot.max()} (window={cfg.map.window_slots}); "
+            f"cells wrapped per robot: {wrapped_cells}")
+        # The soak's whole point: the sliding window must actually WRAP
+        # (old slots evicted), not just fill.
+        assert (wrapped_cells > 0).all(), (
+            f"soak never wrapped the {cfg.map.window_slots}-slot ring: max "
+            f"rotations {rot.max()} — lengthen the log or slow the loop"
+        )
+        try:
+            ms = dev.memory_stats()
+            log(f"device memory: {ms.get('bytes_in_use', 0)/2**30:.2f} GiB in "
+                f"use / {ms.get('bytes_limit', 0)/2**30:.2f} GiB limit")
+        except Exception as e:  # memory_stats is optional on some backends
+            log(f"device memory stats unavailable: {e}")
+    else:
+        # Gate calibrated to the reference's own 30x50 budget at 0.5 m cells
+        # (local_exact/exact measure mean ~0.18 / max ~0.27 on this workload);
+        # the frozen-binding failure this guards against measured mean 1.46.
+        # Gated PER ROBOT so one degraded session can't hide in a fleet mean.
+        assert per_robot.max() < 0.35 and err.max() < 0.7, (
+            f"SLAM trajectory accuracy regressed: per-robot mean "
+            f"{np.round(per_robot, 4)} m, max {err.max():.4f} m"
+        )
 
     jax.block_until_ready(run()[1])
     t0 = time.time()
@@ -412,6 +460,8 @@ def bench_slam(args):
     log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s aggregate over {b} "
         f"robot(s) (LiDAR rate 10 Hz)")
     scale = "_fullscale" if args.full_scale else ""
+    if args.soak:
+        scale = f"_soak{args.soak}"
     og = "_og" if args.og else ""
     robots = f"_{b}robots" if b > 1 else ""
     print(json.dumps({
@@ -489,6 +539,7 @@ def bench_multiswarm(args):
         run = jax.jit(lambda k, h: multi_swarm_rollout(
             k, h, jnp.float32([0.6, 0.6, 0.1]), snap, q.points, q.valid,
             pso_cfg, map_cfg,
+            interpret=jax.default_backend() != "tpu",
             score_dtype="bf16" if "bf16" in args.mode else "f32",
             rng_mode="native" if "turbo" in args.mode else "threefry",
         ))

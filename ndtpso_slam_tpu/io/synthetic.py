@@ -124,6 +124,54 @@ def make_log(
     )
 
 
+def make_soak_world(seed: int = 0, extent: float = 120.0,
+                    pillar_every: float = 12.0) -> np.ndarray:
+    """A warehouse-scale world for long soaks: an `extent`-sized hall with a
+    regular pillar grid, so a 30 m-range LiDAR always sees structure anywhere
+    inside — unlike `make_world`, whose single room goes featureless past
+    range_max when scaled up.  Returns segments [M, 4]."""
+    rs = np.random.RandomState(seed)
+    segs = [box_segments(0, 0, extent, extent)]
+    k = int(extent // (2 * pillar_every))
+    for i in range(-k, k + 1):
+        for j in range(-k, k + 1):
+            cx = i * pillar_every + rs.uniform(-1.0, 1.0)
+            cy = j * pillar_every + rs.uniform(-1.0, 1.0)
+            if abs(cx) > extent / 2 - 2 or abs(cy) > extent / 2 - 2:
+                continue
+            w, h = rs.uniform(0.6, 1.8, 2)
+            segs.append(box_segments(cx, cy, w, h))
+    return np.concatenate(segs, axis=0)
+
+
+def make_soak_log(
+    seed: int = 0,
+    n_scans: int = 1200,
+    n_beams: int = 360,
+    range_max: float = 30.0,
+    dt: float = 0.1,
+    loop_radius: float = 25.0,
+) -> ScanLog:
+    """Deployment-scale soak log: `n_scans` scans on a large loop through a
+    pillar-grid hall.  Defaults traverse 2π·25 ≈ 157 m per loop at ~1.3 m/s —
+    the ≥150 m / 1000+ scans regime of the reference's 300 m frame deployment
+    (`ndtpso_slam_node.hpp:25-34`) — while keeping central structure inside
+    LiDAR range the whole run, so long-observed cells rotate their sliding
+    window far enough to WRAP the 100-slot ring (`config.h:8`) and exercise
+    eviction, which short benches never reach."""
+    ts = np.arange(n_scans) * dt
+    omega = 2.0 * np.pi / (n_scans * dt)  # exactly one loop over the log
+    traj = np.stack(
+        [loop_radius * np.cos(omega * ts), loop_radius * np.sin(omega * ts),
+         np.unwrap(omega * ts + np.pi / 2)], axis=-1,
+    )
+    segs = make_soak_world(seed, extent=max(4 * loop_radius, 100.0))
+    return make_log(
+        seed=seed, n_scans=n_scans, n_beams=n_beams, range_max=range_max,
+        dt=dt, trajectory=traj, segments=segs,
+    )
+
+
 def make_realistic_log(
     seed: int = 0,
     n_scans: int = 60,

@@ -72,6 +72,11 @@ class NdtMapState(struct.PyTreeNode):
     slot_count: jnp.ndarray  # [C, S] int32
     slot_cov: jnp.ndarray  # [C, S, 3]
     slot_idx: jnp.ndarray  # [C] int32 current window slot
+    # Cumulative ring rotations per cell (observability: slot_idx alone is
+    # mod-S, so whether the window ever WRAPPED — i.e. old slots were
+    # evicted, `ndtcell.cpp:61-65` going all the way around — is invisible
+    # from the final state without this monotone counter).
+    rot_count: jnp.ndarray  # [C] int32
     # Current (open) slot accumulators (`s_current_*` + second moment)
     cur_sum: jnp.ndarray  # [C, 2]
     cur_count: jnp.ndarray  # [C] int32
@@ -95,6 +100,7 @@ def init_map(cfg: MapConfig, dtype=jnp.float32) -> NdtMapState:
         slot_count=jnp.zeros((c, s), jnp.int32),
         slot_cov=f(c, s, 3),
         slot_idx=jnp.zeros((c,), jnp.int32),
+        rot_count=jnp.zeros((c,), jnp.int32),
         cur_sum=f(c, 2),
         cur_count=jnp.zeros((c,), jnp.int32),
         cur_m2=f(c, 3),
@@ -240,6 +246,7 @@ def build(state: NdtMapState, cfg: MapConfig) -> NdtMapState:
         slot_count=slot_count,
         slot_cov=slot_cov,
         slot_idx=slot_idx,
+        rot_count=state.rot_count + rotate.astype(jnp.int32),
         cur_sum=jnp.where(rotate[:, None], zero2, state.cur_sum),
         cur_count=jnp.where(rotate, 0, state.cur_count),
         cur_m2=jnp.where(rotate[:, None], zero3, state.cur_m2),
@@ -277,6 +284,7 @@ def _build_rows(cfg: MapConfig, rows: "_CellRows") -> "_CellRows":
     slot_idx = jnp.where(
         rotate, (rows.slot_idx + 1) % cfg.window_slots, rows.slot_idx
     )
+    rot_count = rows.rot_count + rotate.astype(jnp.int32)
     return _CellRows(
         mean_c=mean_c,
         inv_cov=inv_cov,
@@ -288,6 +296,7 @@ def _build_rows(cfg: MapConfig, rows: "_CellRows") -> "_CellRows":
         old_count=rows.cur_count,
         old_cov=slot_cov,
         slot_idx=slot_idx,
+        rot_count=rot_count,
         cur_sum=jnp.where(rotate[:, None], jnp.zeros_like(rows.cur_sum), rows.cur_sum),
         cur_count=jnp.where(rotate, 0, rows.cur_count),
         cur_m2=jnp.where(rotate[:, None], jnp.zeros_like(rows.cur_m2), rows.cur_m2),
@@ -307,6 +316,7 @@ class _CellRows(struct.PyTreeNode):
     old_count: jnp.ndarray
     old_cov: jnp.ndarray
     slot_idx: jnp.ndarray
+    rot_count: jnp.ndarray
     cur_sum: jnp.ndarray
     cur_count: jnp.ndarray
     cur_m2: jnp.ndarray
@@ -359,6 +369,7 @@ def build_touched(
         old_count=state.slot_count[safe, slot],
         old_cov=state.slot_cov[safe, slot],
         slot_idx=slot,
+        rot_count=state.rot_count[safe],
         cur_sum=state.cur_sum[safe],
         cur_count=state.cur_count[safe],
         cur_m2=state.cur_m2[safe],
@@ -377,6 +388,7 @@ def build_touched(
         slot_count=state.slot_count.at[sidx, slot].set(new.old_count, mode="drop"),
         slot_cov=state.slot_cov.at[sidx, slot].set(new.old_cov, mode="drop"),
         slot_idx=state.slot_idx.at[sidx].set(new.slot_idx, mode="drop"),
+        rot_count=state.rot_count.at[sidx].set(new.rot_count, mode="drop"),
         cur_sum=state.cur_sum.at[sidx].set(new.cur_sum, mode="drop"),
         cur_count=state.cur_count.at[sidx].set(new.cur_count, mode="drop"),
         cur_m2=state.cur_m2.at[sidx].set(new.cur_m2, mode="drop"),

@@ -133,13 +133,13 @@ def _align_rollout(key, guess, deviation, snap, scan, cfg: SlamConfig) -> PsoRes
     `scan.launch` at 10 Hz)."""
     from ndtpso_slam_tpu.ops.pallas_rollout import pack_rollout_inputs, pso_rollout
 
-    p = cfg.pso.population
     n = scan.points.shape[0]
-    if p % 128 != 0 or n % 128 != 0:
+    if n % 128 != 0:
         raise ValueError(
-            f"rollout cost modes need lane-aligned shapes: population {p} and "
-            f"padded beams {n} must be multiples of 128 "
-            "(use fast_local for the reference's 50-particle budget)"
+            f"rollout cost modes need a lane-aligned scan buffer: padded beam "
+            f"count {n} must be a multiple of 128 (set scan.max_beams "
+            "accordingly); any population works — sub-128 swarms run as "
+            "masked padding lanes"
         )
     nbr = cost_mod.bind_neighborhood(
         guess, snap, scan.points, scan.valid, cfg.map,

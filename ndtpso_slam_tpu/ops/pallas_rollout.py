@@ -36,7 +36,10 @@ In-kernel pieces, all bit-matching their XLA counterparts:
 
 Layout: particle state is [8, P] f32 (rows 0..2 = x, y, theta; rows 3..7 are
 sublane padding that is computed but never read); per-point rows are [1, N]
-lanes.  P and N must be multiples of 128 (the bench shapes 4096/384 are).
+lanes.  N must be a multiple of 128 (the bench shape 384 is); any population
+works — sub-128 swarms (e.g. the reference's 50-particle launch budget,
+`scan.launch:11-13`) run as masked padding lanes whose cost is pinned to BIG
+so they never win a reduction.
 """
 
 from __future__ import annotations
@@ -116,10 +119,20 @@ def _rollout_kernel(
     inv_cell: float,
     radius: int,
     n_pts: int,
+    p_pad: int,
     score_dtype=jnp.float32,
     native_rng: bool = False,
 ):
-    p = cfg.population
+    # Lane layout: p_pad = population rounded up to the 128-lane register
+    # width.  Lanes >= cfg.population are INERT padding — their cost is
+    # overwritten with BIG after every score, so they can never win a
+    # pbest/gbest reduction; their Threefry counters are junk-but-harmless
+    # duplicates (the real lanes' counters match ops/rng.py exactly because
+    # iter_base/iter_stride use the REAL population).  This is what lets the
+    # kernel run the reference's own 50-particle launch budget
+    # (`launch/scan.launch:11-13`) instead of demanding multiples of 128.
+    p_real = cfg.population
+    p = p_pad
     side = 2 * radius + 1
     k2 = side * side
     f32 = jnp.float32
@@ -155,6 +168,11 @@ def _rollout_kernel(
     row8p = jax.lax.broadcasted_iota(jnp.int32, (8, p), 0)
     col8p = jax.lax.broadcasted_iota(jnp.int32, (8, p), 1)
     ctr_base = (3 * col8p + row8p).astype(_U32)  # 3j + k (rows >= 3 unused)
+    if p_real == p:
+        mask_cost = lambda c: c
+    else:
+        lane_ok = col8p[0:1, :] < p_real  # [1, P]
+        mask_cost = lambda c: jnp.where(lane_ok, c, f32(_BIG))
 
     def col3(ref):
         """[8, 1] f32 column from a 3-scalar SMEM row (rows 3..7 zero)."""
@@ -262,8 +280,8 @@ def _rollout_kernel(
     # lane 0 of the non-uniform population array, score that, and extract
     # lane 0 by one-hot reduction — the layout the compiler handles.
     gmix = jnp.where(col8p == 0, g_pos, pos)
-    cost = score(pos, guess8)  # [1, P]
-    cmix = score(gmix, guess8)
+    cost = mask_cost(score(pos, guess8))  # [1, P]
+    cmix = score(gmix, guess8)  # only lane 0 (always real) is read
     oh0 = (jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) == 0).astype(f32)
     g_cost = jnp.sum(cmix * oh0, axis=1, keepdims=True)  # [1, 1]
     g_pos1 = jnp.sum(gmix * oh0, axis=1, keepdims=True)  # [8, 1]
@@ -274,8 +292,8 @@ def _rollout_kernel(
 
     c1 = f32(cfg.c1)
     c2 = f32(cfg.c2)
-    iter_base = _U32(3 + 3 * p)
-    iter_stride = _U32(3 * p)
+    iter_base = _U32(3 + 3 * p_real)
+    iter_stride = _U32(3 * p_real)
 
     def body(i, carry):
         pos, vel, pbest, pbest_cost, gbest, gcost, w = carry
@@ -286,7 +304,7 @@ def _rollout_kernel(
             r1, r2 = _uniform_pairs(k0, k1, ctr)
         vel = w * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (gbest - pos)
         pos = pos + vel
-        cost = score(pos, gbest)
+        cost = mask_cost(score(pos, gbest))
         better = cost < pbest_cost  # [1, P]
         pbest = jnp.where(better, pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
@@ -339,7 +357,8 @@ def pack_rollout_inputs(nbr, points):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "map_cfg", "radius", "interpret", "score_dtype", "rng_mode"
+        "cfg", "map_cfg", "radius", "interpret", "score_dtype", "rng_mode",
+        "grid_block",
     ),
 )
 def pso_rollout(
@@ -354,6 +373,7 @@ def pso_rollout(
     interpret: bool = False,
     score_dtype: str = "f32",
     rng_mode: str = "threefry",
+    grid_block: int | None = None,
 ):
     """B independent whole-solve PSO rollouts.  Returns (pose [B,3], cost [B]).
 
@@ -368,10 +388,43 @@ def pso_rollout(
     given TPU generation + Mosaic toolchain — the hardware generator's bit
     stream is not a stable cross-version contract the way Threefry is.  Use
     turbo for serving throughput; use 'rollout' (Threefry) for parity gates
-    and anything that must reproduce across upgrades."""
+    and anything that must reproduce across upgrades.
+
+    ``grid_block=G`` splits the B-step pallas grid into ceil(B/G) sequential
+    kernel launches of at most G steps each (`lax.map` over blocks; per-solve
+    results are identical — solves are independent grid steps either way).
+    This exists because the current TPU toolchain reproducibly WEDGES at
+    readback when a bf16-scoring rollout grid has >= 128 steps (B=64 fine,
+    B=128 hangs, f32 fine at any B — see
+    experiments/bisect_bf16/README.md); blocks of 64 keep the bf16 MXU win
+    at arbitrary batch sizes.  Per-solve work is unchanged, so overhead is
+    one kernel launch per block (~10 us) against ~25 ms/block of compute."""
     b, k2, _, n = sten.shape
-    p = cfg.population
-    assert p % 128 == 0, f"population {p} must be lane-aligned (128)"
+    if grid_block is not None and b > grid_block:
+        nb = -(-b // grid_block)
+        pad = nb * grid_block - b
+        rsh = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+        ).reshape((nb, grid_block) + x.shape[1:]) if pad else x.reshape(
+            (nb, grid_block) + x.shape[1:]
+        )
+        block = functools.partial(
+            pso_rollout, cfg=cfg, map_cfg=map_cfg, radius=radius,
+            interpret=interpret, score_dtype=score_dtype, rng_mode=rng_mode,
+            grid_block=None,
+        )
+        poses, costs = jax.lax.map(
+            lambda a: block(a[0], a[1], a[2], a[3], a[4]),
+            (rsh(keys), rsh(guesses), rsh(deviations), rsh(sten), rsh(pts)),
+        )
+        return (
+            poses.reshape(nb * grid_block, 3)[:b],
+            costs.reshape(nb * grid_block)[:b],
+        )
+    # Populations below the 128-lane width run as masked padding lanes inside
+    # the kernel (see _rollout_kernel) — the reference's 50-particle launch
+    # budget is a first-class citizen here, not an error.
+    p_pad = -(-cfg.population // 128) * 128
     assert n % 128 == 0, f"padded beam count {n} must be lane-aligned (128)"
     assert k2 == (2 * radius + 1) ** 2
     kern = functools.partial(
@@ -381,6 +434,7 @@ def pso_rollout(
         inv_cell=1.0 / map_cfg.cell_side_m,
         radius=radius,
         n_pts=n,
+        p_pad=p_pad,
         score_dtype=jnp.bfloat16 if score_dtype == "bf16" else jnp.float32,
         native_rng=rng_mode == "native",
     )
@@ -407,9 +461,9 @@ def pso_rollout(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * (cfg.iterations + 2) * p * n * 16,
+            flops=2 * b * (cfg.iterations + 2) * p_pad * n * 16,
             bytes_accessed=4 * b * (k2 * 8 * n + 8 * n + 8 * 128),
-            transcendentals=b * (cfg.iterations + 2) * p * n,
+            transcendentals=b * (cfg.iterations + 2) * p_pad * n,
         ),
     )(
         keys.astype(jnp.uint32),

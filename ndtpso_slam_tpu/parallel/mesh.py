@@ -39,6 +39,13 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SOLVE_AXIS) -> Mesh:
 
 STENCIL_RADIUS = cost_mod.DEFAULT_STENCIL_RADIUS
 
+# The current TPU toolchain reproducibly wedges at device->host readback when
+# a bf16-scoring rollout grid has >= 128 steps (bisected: B=64 fine, B=128
+# hangs, f32 fine at B=256 — experiments/bisect_bf16/README.md).  Blocks of
+# 64 grid steps sidestep it with ~no overhead (one extra kernel launch per
+# ~25 ms block); per-solve results are identical (independent grid steps).
+BF16_ROLLOUT_GRID_BLOCK = 64
+
 # Every batched cost/solver mode `_solve_batch_impl` dispatches on.  The
 # dispatch below uses prefix/substring checks, so an unknown string must be
 # rejected up front or a typo like 'rollout_brf16' would silently run a
@@ -48,6 +55,7 @@ COST_MODES = frozenset(
         "exact",
         "fast",
         "fast_local",
+        "fast_matmul",
         "local_exact",
         "fast_fused",
         "fast_local_fused",
@@ -70,6 +78,13 @@ def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cos
         )
         cost_fn = lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points_local(bind, nbr, points, map_cfg)
+        )
+    elif cost_mode == "fast_matmul":
+        # One-hot MXU binder (bit-identical to `fast`'s gather; the right
+        # trade at small/relocalization map sizes, cost.py:bind_points_matmul).
+        tbl = cost_mod.snapshot_table(snap)
+        cost_fn = lambda poses, bind: cost_mod.bound_cost(
+            poses, cost_mod.bind_points_matmul(bind, tbl, points, valid, map_cfg)
         )
     elif cost_mode == "local_exact":
         nbr = cost_mod.bind_neighborhood(
@@ -109,11 +124,13 @@ def _solve_batch_impl(
             in_axes=(0, snap_ax, 0, 0),
         )(guesses, snaps, points, valid)
         sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, points)
+        bf16 = "bf16" in cost_mode
         pose, cost = pso_rollout(
             keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
             radius=STENCIL_RADIUS, interpret=interpret,
-            score_dtype="bf16" if "bf16" in cost_mode else "f32",
+            score_dtype="bf16" if bf16 else "f32",
             rng_mode="native" if "turbo" in cost_mode else "threefry",
+            grid_block=BF16_ROLLOUT_GRID_BLOCK if bf16 else None,
         )
         return PsoResult(pose=pose.astype(guesses.dtype), cost=cost)
     if cost_mode in ("fast_fused", "fast_local_fused"):

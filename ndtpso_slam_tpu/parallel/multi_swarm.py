@@ -219,6 +219,7 @@ def multi_swarm_rollout(
     """
     k = guesses.shape[0]
     radius = cost_mod.DEFAULT_STENCIL_RADIUS
+    orig_dtype = guesses.dtype
     guesses = guesses.astype(jnp.float32)
     nbr = jax.vmap(
         lambda g: cost_mod.bind_neighborhood(
@@ -242,4 +243,8 @@ def multi_swarm_rollout(
         all_costs = jax.lax.all_gather(best_cost, axis_name, tiled=False)
         all_poses = jax.lax.all_gather(best_pose, axis_name, tiled=False)
         best_cost, best_pose = _select_min(all_costs, all_poses)
-    return PsoResult(pose=best_pose, cost=best_cost)
+    # Preserve the caller's dtype (as multi_swarm_solve does) so switching
+    # between the two multi-swarm paths never silently changes precision.
+    return PsoResult(
+        pose=best_pose.astype(orig_dtype), cost=best_cost.astype(orig_dtype)
+    )

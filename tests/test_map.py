@@ -75,11 +75,39 @@ def test_multi_round_with_rotation():
 
 
 def test_window_wraparound_forgetting():
-    # More rounds than slots: the window wraps and old slots are evicted.
-    state, frame = _random_rounds(2, 12, 60, 0.25)
-    wrapped = [c for c in frame.cells.values() if c.g_count < sum(c.slot_count) + c.cur_count or True]
-    assert wrapped  # window arithmetic exercised
+    # Hammer ONE cell with > slot_capacity points every round for more
+    # rounds than the window has slots: the ring must rotate every round and
+    # WRAP — the oldest slots actually evicted — matching the oracle.
+    rs = np.random.RandomState(2)
+    state = ndt_map.init_map(CFG)
+    frame = OracleFrame(
+        CFG.size_m, CFG.cell_side_m, CFG.window_slots, CFG.slot_capacity
+    )
+    n_rounds = 2 * CFG.window_slots
+    for r in range(n_rounds):
+        # A drifting cluster inside one cell: >capacity points per round.
+        pts = np.float32([3.3, 3.3]) + rs.normal(
+            0.1 * r / n_rounds, 0.12, (CFG.slot_capacity + 3, 2)
+        ).astype(np.float32)
+        state = ndt_map.add_points(state, CFG, pts, np.ones(len(pts), bool))
+        for p in pts:
+            frame.add_point(p)
+        state = ndt_map.build(state, CFG)
+        frame.build()
     _compare(state, frame)
+    # The monotone rotation counter must show the ring went all the way
+    # around (rot_count >= window_slots ⇔ eviction happened) — slot_idx
+    # alone is mod-S and cannot distinguish wrap from first fill.
+    rot = np.asarray(state.rot_count)
+    assert rot.max() >= CFG.window_slots, f"never wrapped: max rot {rot.max()}"
+    # And it must agree with slot_idx mod S for every cell.
+    np.testing.assert_array_equal(
+        np.asarray(state.slot_idx), rot % CFG.window_slots
+    )
+    # Eviction really forgot points: the window total is bounded by S slots,
+    # while the cell saw n_rounds * (capacity + 3) points in all.
+    gc = np.asarray(state.g_count)
+    assert gc.max() < n_rounds * (CFG.slot_capacity + 3)
 
 
 def test_out_of_bounds_points_dropped():

@@ -114,6 +114,88 @@ def test_rollout_converges_to_truth(world):
     assert np.abs(pose[:, 2] - inv[2]).max() < 0.02
 
 
+@pytest.mark.parametrize("population", [50, 200])
+def test_rollout_masked_population_matches_fast_local(world, population):
+    """Sub-lane-width (and non-multiple-of-128) populations run as masked
+    padding lanes inside the kernel; the real lanes consume the exact
+    ops/rng.py Threefry counters of a P=population jnp solve, so the result
+    matches fast_local at the same budget.  P=50 is the reference's own
+    launch budget (`scan.launch:11-13`)."""
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=3)
+    cfg = cfgm.PSOConfig(iterations=10, population=population)
+    r_ref = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "fast_local"
+    )
+    r_roll = mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg, "rollout"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref.cost), np.asarray(r_roll.cost), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref.pose), np.asarray(r_roll.pose), atol=5e-3
+    )
+
+
+def test_rollout_grid_block_matches_single_grid(world):
+    """Splitting the B-step grid into sequential blocks (the bf16 big-batch
+    wedge workaround) must return identical per-solve results, including a
+    non-divisible block size (padding path)."""
+    from ndtpso_slam_tpu.models import cost as cost_mod
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_inputs, pso_rollout,
+    )
+
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=5)
+    cfg = cfgm.PSOConfig(iterations=6, population=128)
+    nbrs = jax.vmap(
+        lambda g, s, p, v: cost_mod.bind_neighborhood(
+            g, s, p, v, MAP_CFG, radius=cost_mod.DEFAULT_STENCIL_RADIUS
+        )
+    )(jnp.asarray(guesses), snaps, jnp.asarray(points), jnp.asarray(valid))
+    sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, jnp.asarray(points))
+    kw = dict(cfg=cfg, map_cfg=MAP_CFG,
+              radius=cost_mod.DEFAULT_STENCIL_RADIUS, interpret=True)
+    p1, c1 = pso_rollout(keys, guesses, devs, sten, pts, **kw)
+    p2, c2 = pso_rollout(keys, guesses, devs, sten, pts, grid_block=2, **kw)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_slam_rollout_runs_reference_budget(world):
+    """The node's default 50-particle budget goes through the rollout cost
+    mode end-to-end (models/slam.py:_align_rollout) — the restriction that
+    forced fall-back to fast_local is gone."""
+    from ndtpso_slam_tpu.models import slam as slam_mod
+    from ndtpso_slam_tpu.models.scan import Scan
+
+    snap, pts = world
+    cfg = cfgm.SlamConfig(
+        pso=cfgm.PSOConfig(iterations=8, population=50),
+        map=MAP_CFG,
+        scan=cfgm.ScanConfig(max_beams=256),
+        cost_mode="rollout",
+    )
+    n_pad = 256
+    points = np.zeros((n_pad, 2), np.float32)
+    points[:200] = pts
+    valid = np.zeros(n_pad, bool)
+    valid[:200] = True
+    astate = slam_mod.AlignState(
+        prev_pose=jnp.zeros(3, jnp.float32),
+        pose_diff=jnp.zeros(3, jnp.float32),
+        iter=jnp.asarray(0, jnp.int32),  # cold start -> first_deviation
+    )
+    scan = Scan(points=jnp.asarray(points), valid=jnp.asarray(valid))
+    _, res = slam_mod.align(
+        (np.uint32(5), np.uint32(7)), astate, snap, scan,
+        jnp.zeros(3, jnp.float32), cfg,
+    )
+    pose = np.asarray(res.pose)
+    assert np.abs(pose[:2]).max() < 0.1 and abs(pose[2]) < 0.05
+    assert np.isfinite(float(res.cost))
+
+
 def test_rollout_bf16_close_to_f32(world):
     """bf16 scoring operands perturb the cost O(0.4%) but the solve must land
     on the same pose basin (identical Threefry streams as f32)."""

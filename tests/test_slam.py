@@ -166,10 +166,13 @@ def test_slam_with_rollout_matches_fast_local():
 
 
 def test_slam_rollout_rejects_unaligned_shapes():
+    # Any population is fine now (masked padding lanes — the reference's
+    # 50-particle budget runs through the kernel, see test_rollout.py); the
+    # one remaining alignment requirement is the scan buffer's lane width.
     cfg = cfgm.SlamConfig(
-        pso=cfgm.PSOConfig(iterations=5, population=50),  # not lane-aligned
+        pso=cfgm.PSOConfig(iterations=5, population=50),
         map=cfgm.MapConfig(size_m=48.0, cell_side_m=1.0, window_slots=4),
-        scan=cfgm.ScanConfig(max_beams=384),
+        scan=cfgm.ScanConfig(max_beams=360),  # not a multiple of 128
         og=cfgm.OccupancyGridConfig(enabled=False),
         cost_mode="rollout",
     )
