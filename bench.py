@@ -90,9 +90,12 @@ def main():
     )
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
-        "--config", default="batch", choices=["batch", "slam", "multiswarm"],
+        "--config", default="batch",
+        choices=["batch", "slam", "multiswarm", "recovery"],
         help="BASELINE workload: batch solves (2), sequential SLAM (3), "
-        "multi-swarm relocalization (4)",
+        "multi-swarm relocalization (4); 'recovery' measures one kidnapped-"
+        "robot relocalization event through slam_step on the chip (latency "
+        "vs the 10 Hz budget + healthy-run overhead of recovery=True)",
     )
     ap.add_argument("--og", action="store_true",
                     help="slam config: build the occupancy grid raster")
@@ -140,14 +143,16 @@ def main():
         _jax.config.update("jax_platforms", "cpu")
     if args.mode is None:
         args.mode = {"batch": "rollout_turbo", "slam": "local_exact",
-                     "multiswarm": "fast"}[args.config]
+                     "multiswarm": "fast", "recovery": "local_exact"}[args.config]
     if args.particles is None:
-        args.particles = 50 if args.config == "slam" else 4096
+        args.particles = 50 if args.config in ("slam", "recovery") else 4096
 
     if args.config == "slam":
         return bench_slam(args)
     if args.config == "multiswarm":
         return bench_multiswarm(args)
+    if args.config == "recovery":
+        return bench_recovery(args)
 
     import jax
     import jax.numpy as jnp
@@ -472,6 +477,150 @@ def bench_slam(args):
         "value": round(scans_per_s, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_s / (10.0 * b), 4),
+    }))
+
+
+def bench_recovery(args):
+    """Tracking-loss recovery on the chip (new capability — the reference
+    has none, SURVEY §5 'failure detection: none').
+
+    Three numbers an operator needs, measured as single `slam_step` calls on
+    a prebuilt map (so compile cost is two slam_step variants, not a whole
+    rollout program):
+
+    * kidnapped-event latency — the step where `lax.cond` takes the
+      3-stage relocalization branch (`models/slam.py:_relocalize`), against
+      the 10 Hz scan budget;
+    * healthy-step time with recovery compiled in (branch not taken);
+    * healthy-step time with recovery off — the overhead of enabling it.
+
+    Headline metric: recovery events/s (1/latency); vs_baseline is against
+    10/s, i.e. >=1 means a relocalization fits inside one LiDAR period.
+    """
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpso_slam_tpu import config as cfgm
+    from ndtpso_slam_tpu.io import synthetic
+    from ndtpso_slam_tpu.models import ndt_map, scan as scan_mod, slam
+    from ndtpso_slam_tpu.ops.geometry import transform_points
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+    map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
+    base = cfgm.SlamConfig(
+        pso=cfgm.PSOConfig(iterations=30, population=max(args.particles, 50)),
+        map=map_cfg,
+        scan=cfgm.ScanConfig(max_beams=args.pad_beams),
+        cost_mode="local_exact",
+    )
+    cfg_rec = dc.replace(base, recovery=cfgm.RecoveryConfig(enabled=True))
+
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        lg = synthetic.make_log(seed=3, n_scans=31, n_beams=args.beams,
+                                world_size=50.0)
+        loaded = [
+            scan_mod.load_laser(r, lg.angle_min, lg.angle_increment,
+                                lg.range_max, base.scan, map_cfg)
+            for r in lg.ranges
+        ]
+        # Build the map at ground truth (no align — we are benching one step,
+        # not a whole session; run_offline's compile is benched by --config
+        # slam).
+        st = slam.init_slam(cfg_rec, initial_pose=tuple(lg.poses[0]))
+        m = st.map
+        for s, pose in zip(loaded[:30], lg.poses[:30]):
+            wpts = transform_points(s.points, jnp.asarray(pose, jnp.float32))
+            m = ndt_map.add_points(m, map_cfg, wpts, s.valid)
+            m = ndt_map.build(m, map_cfg)
+        prev_pose = jnp.asarray(lg.poses[29], jnp.float32)
+        st = st.replace(
+            map=m,
+            pose=prev_pose,
+            align=slam.AlignState(
+                prev_pose=prev_pose,
+                pose_diff=jnp.asarray(
+                    lg.poses[29] - lg.poses[28], jnp.float32
+                ),
+                iter=jnp.asarray(30, jnp.int32),
+            ),
+            step=jnp.asarray(30, jnp.int32),
+        )
+        healthy = loaded[30]  # scan from poses[30]: normal next step
+        # Kidnapped: the robot was teleported inside the relocalization
+        # spread (±3 m, ±π) but believes it is at poses[29].
+        kid_pose = lg.poses[30] + np.float64([2.3, -1.8, 2.2])
+        kid_r = synthetic.raycast(
+            synthetic.make_world(seed=3, size=50.0), kid_pose, args.beams,
+            lg.angle_min, lg.angle_increment, lg.range_max,
+        )
+        kidnapped = scan_mod.load_laser(
+            kid_r.astype(np.float32), lg.angle_min, lg.angle_increment,
+            lg.range_max, base.scan, map_cfg,
+        )
+    st, healthy, kidnapped = jax.device_put((st, healthy, kidnapped), dev)
+    st_norec = st.replace()  # same pytree; configs differ at jit time
+    key = (np.uint32(11), np.uint32(13))
+    log(f"setup {time.time()-t0:.1f}s; P={base.pso.population} "
+        f"I={base.pso.iterations} grid={cfg_rec.recovery.grid}")
+
+    def timed(fn, label, reps):
+        t0 = time.time()
+        out = fn()
+        jax.block_until_ready(out)
+        compile_s = time.time() - t0
+        jax.block_until_ready(fn())
+        t0 = time.time()
+        outs = [fn() for _ in range(reps)]
+        jax.block_until_ready(outs[-1])
+        dt = (time.time() - t0) / reps
+        log(f"{label}: {dt*1e3:.2f} ms/step (compile+first {compile_s:.1f}s)")
+        return out, dt
+
+    out_k, t_kid = timed(
+        lambda: slam.slam_step(st, kidnapped, key, cfg_rec),
+        "kidnapped step (recovery taken)", args.reps,
+    )
+    out_h, t_heal = timed(
+        lambda: slam.slam_step(st, healthy, key, cfg_rec),
+        "healthy step (recovery compiled, not taken)", args.reps,
+    )
+    _, t_off = timed(
+        lambda: slam.slam_step(st_norec, healthy, key, base),
+        "healthy step (recovery off)", args.reps,
+    )
+
+    st_k = out_k[0]
+    assert int(st_k.recoveries) == 1, (
+        f"kidnapped step did not relocalize (recoveries={int(st_k.recoveries)})"
+    )
+    err = np.abs(np.asarray(out_k[1]) - kid_pose)
+    err[2] = abs((err[2] + np.pi) % (2 * np.pi) - np.pi)
+    log(f"relocalized pose err vs kidnapped truth: {err.round(4)}")
+    assert err[0] < 0.3 and err[1] < 0.3 and err[2] < 0.1, (
+        f"relocalization missed the kidnapped pose: err {err.round(4)}"
+    )
+    st_h = out_h[0]
+    assert int(st_h.recoveries) == 0, "healthy step must not relocalize"
+    overhead = (t_heal - t_off) / t_off * 100.0
+    log(f"recovery=True healthy overhead: {overhead:+.1f}% "
+        f"({t_heal*1e3:.2f} vs {t_off*1e3:.2f} ms)")
+    events_per_s = 1.0 / t_kid
+    log(f"recovery event latency {t_kid*1e3:.1f} ms "
+        f"({'fits' if t_kid < 0.1 else 'EXCEEDS'} the 10 Hz budget)")
+    print(json.dumps({
+        "metric": (
+            f"recovery_events_per_s_grid{cfg_rec.recovery.grid[0]}x"
+            f"{cfg_rec.recovery.grid[1]}x{cfg_rec.recovery.grid[2]}_"
+            f"k{cfg_rec.recovery.k_hypotheses}"
+        ),
+        "value": round(events_per_s, 2),
+        "unit": "events/s",
+        "vs_baseline": round(events_per_s / 10.0, 4),
     }))
 
 

@@ -1,30 +1,49 @@
 #!/bin/sh
 # Re-measure every BENCH.md row on the TPU and store raw JSON lines here.
-# Each row of BENCH.md is one of these commands; run from the repo root.
-# Heavy-compile rows (fast_matmul ~8.5 min) are last.
+# Each BENCH.md table row's command is one of these `run` lines and its
+# committed artifact is benchlogs/<name>.json (PARITY.md cites the same
+# names).  Run from anywhere; heavy-compile rows (fast_matmul ~8.5 min,
+# multiswarm bf16 ~11 min) are last.  A wedged axon readback is retried by
+# bench.py's built-in supervisor (timeout + 2 retries).
 set -x
 cd "$(dirname "$0")/.."
 out=benchlogs
-run() { name=$1; shift; python bench.py "$@" >"$out/$name.json" 2>"$out/$name.log"; }
+run() { name=$1; shift; python bench.py "$@" >"$out/$name.json" 2>"$out/$name.log"; \
+        echo "=== $name rc=$? $(cat $out/$name.json)"; }
+# Like run, but with a per-run supervisor timeout (long compiles/programs).
+run_t() { t=$1; name=$2; shift 2; \
+          NDTPSO_BENCH_TIMEOUT=$t python bench.py "$@" >"$out/$name.json" 2>"$out/$name.log"; \
+          echo "=== $name rc=$? $(cat $out/$name.json)"; }
 
-# Config 2 — batched solves
-run batch_rollout_turbo_sharded1 --config batch --mode rollout_turbo --sharded --devices 1
-run batch_rollout_turbo          --config batch --mode rollout_turbo
-run batch_rollout                --config batch --mode rollout
+# Config 2 — batched solves (B=256, 4096p x 50i)
+run batch_rollout_turbo_sharded1      --config batch --mode rollout_turbo --sharded --devices 1
+run batch_rollout_turbo               --config batch --mode rollout_turbo
+run batch_rollout_turbo_bf16          --config batch --mode rollout_turbo_bf16
+run batch_rollout_turbo_bf16_sharded1 --config batch --mode rollout_turbo_bf16 --sharded --devices 1
+run batch_rollout                     --config batch --mode rollout
+run batch_rollout_bf16                --config batch --mode rollout_bf16
 
-# Config 3 — sequential SLAM
+# Config 3 — sequential SLAM (50p x 30i, local_exact)
 run slam                 --config slam
 run slam_og              --config slam --og
 run slam_fullscale       --config slam --full-scale
 run slam_fullscale_og    --config slam --full-scale --og
+run slam_8robots         --config slam --robots 8
+run_t 900 slam_fullscale_8robots --config slam --full-scale --robots 8
+run_t 900 slam_soak1200 --config slam --soak 1200 --og
 
-# Config 4 — multi-swarm relocalization
-run multiswarm_rollout_turbo --config multiswarm --mode rollout_turbo
-run multiswarm_fast          --config multiswarm
-run multiswarm_fast_matmul   --config multiswarm --mode fast_matmul
+# Recovery — kidnapped-robot relocalization event latency
+run recovery             --config recovery
+
+# Config 4 — multi-swarm relocalization (16 x 4096p x 50i)
+run multiswarm_rollout_turbo      --config multiswarm --mode rollout_turbo
+run multiswarm_fast               --config multiswarm
+run multiswarm_fast_matmul        --config multiswarm --mode fast_matmul
+run multiswarm_rollout_turbo_bf16 --config multiswarm --mode rollout_turbo_bf16
 
 # Config 5 — virtual-mesh scaling shape (CPU, not TPU numbers)
 for d in 1 2 4 8; do
   run cpumesh_d$d --config batch --mode fast --sharded --devices $d \
       --cpu-mesh 8 --batch 64
 done
+echo "run_all done"

@@ -122,6 +122,7 @@ def _rollout_kernel(
     p_pad: int,
     score_dtype=jnp.float32,
     native_rng: bool = False,
+    exp_mode: str = "exp2",
 ):
     # Lane layout: p_pad = population rounded up to the 128-lane register
     # width.  Lanes >= cfg.population are INERT padding — their cost is
@@ -260,7 +261,15 @@ def _rollout_kernel(
             (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )  # [N, P]
-        s = jnp.exp(-0.5 * jnp.maximum(z, 0.0))
+        zc = jnp.maximum(z, 0.0)
+        if exp_mode == "exp2":
+            # exp(-z/2) == 2^(-z/(2 ln 2)): one extra multiply, but lets the
+            # hardware skip the ln2-range-reduction step of exp — the
+            # experiment knob of experiments/exp_lever.py (the [N, P]
+            # transcendental is the measured VPU bottleneck of this kernel).
+            s = jax.lax.exp2(zc * f32(-0.5 / np.log(2.0)))
+        else:
+            s = jnp.exp(-0.5 * zc)
         return -jnp.sum(s, axis=0, keepdims=True)  # [1, P]
 
     # --- init (core.cpp:53-69 semantics, ops/rng.py counters) ---
@@ -358,7 +367,7 @@ def pack_rollout_inputs(nbr, points):
     jax.jit,
     static_argnames=(
         "cfg", "map_cfg", "radius", "interpret", "score_dtype", "rng_mode",
-        "grid_block",
+        "grid_block", "exp_mode",
     ),
 )
 def pso_rollout(
@@ -374,6 +383,7 @@ def pso_rollout(
     score_dtype: str = "f32",
     rng_mode: str = "threefry",
     grid_block: int | None = None,
+    exp_mode: str = "exp2",
 ):
     """B independent whole-solve PSO rollouts.  Returns (pose [B,3], cost [B]).
 
@@ -411,7 +421,7 @@ def pso_rollout(
         block = functools.partial(
             pso_rollout, cfg=cfg, map_cfg=map_cfg, radius=radius,
             interpret=interpret, score_dtype=score_dtype, rng_mode=rng_mode,
-            grid_block=None,
+            grid_block=None, exp_mode=exp_mode,
         )
         poses, costs = jax.lax.map(
             lambda a: block(a[0], a[1], a[2], a[3], a[4]),
@@ -437,6 +447,7 @@ def pso_rollout(
         p_pad=p_pad,
         score_dtype=jnp.bfloat16 if score_dtype == "bf16" else jnp.float32,
         native_rng=rng_mode == "native",
+        exp_mode=exp_mode,
     )
     out = pl.pallas_call(
         kern,
