@@ -73,6 +73,43 @@ def raycast(
     return np.where(np.isfinite(r) & (r < range_max), r, 0.0)
 
 
+def raycast_swept(
+    segments: np.ndarray,
+    pose0: np.ndarray,
+    pose1: np.ndarray,
+    n_beams: int,
+    angle_min: float,
+    angle_increment: float,
+    range_max: float,
+) -> np.ndarray:
+    """Motion-distorted raycast: beam j fires from the pose interpolated a
+    fraction j/B of the way from ``pose0`` to ``pose1``.
+
+    A real spinning 2-D LiDAR sweeps its beams over ~the whole scan period
+    while the robot keeps moving, so the scan is NOT a rigid snapshot — the
+    classic "scan skew" every real recording has and a rigid raycaster
+    can't produce.  [B] float64 ranges.
+    """
+    f = np.arange(n_beams, dtype=np.float64) / n_beams
+    dpose = np.asarray(pose1, np.float64) - np.asarray(pose0, np.float64)
+    dpose[2] = (dpose[2] + np.pi) % (2 * np.pi) - np.pi
+    poses = np.asarray(pose0, np.float64)[None, :] + f[:, None] * dpose[None, :]
+    angles = poses[:, 2] + angle_min + angle_increment * np.arange(n_beams)
+    d = np.stack([np.cos(angles), np.sin(angles)], axis=-1)  # [B, 2]
+    o = poses[:, :2]  # [B, 2] per-beam origins
+    p1 = segments[:, 0:2]
+    e = segments[:, 2:4] - p1  # [M, 2]
+    w = p1[None, :, :] - o[:, None, :]  # [B, M, 2]
+    denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (w[..., 0] * e[None, :, 1] - w[..., 1] * e[None, :, 0]) / denom
+        s = (w[..., 0] * d[:, None, 1] - w[..., 1] * d[:, None, 0]) / denom
+    hit = (np.abs(denom) > 1e-12) & (t > 1e-6) & (s >= 0.0) & (s <= 1.0)
+    t = np.where(hit, t, np.inf)
+    r = t.min(axis=1)
+    return np.where(np.isfinite(r) & (r < range_max), r, 0.0)
+
+
 def circle_trajectory(t: np.ndarray, radius: float = 8.0, omega: float = 0.15):
     """Smooth loop: position on a circle, heading tangent."""
     a = omega * t
@@ -183,13 +220,19 @@ def make_realistic_log(
     dropout: float = 0.05,
     odom_noise: float = 0.03,
     n_movers: int = 2,
+    skew: bool = True,
 ) -> ScanLog:
     """A scan log with real-LiDAR failure modes the clean raycaster lacks:
     per-beam Gaussian range noise, random beam dropout (specular surfaces /
-    max-range misses return 0), and dynamic clutter — boxes that move
-    between scans, so some returns are never explainable by the static map.
-    This is the fixture-generation path for end-to-end tests against
-    realistic data when no recorded dataset can be bundled.
+    max-range misses return 0), dynamic clutter — boxes that move between
+    scans, so some returns are never explainable by the static map — and
+    motion distortion (``skew``): each beam fires from the pose the moving
+    robot actually occupied at that beam's firing time within the sweep
+    (:func:`raycast_swept`), so no rigid transform maps the scan onto the
+    map exactly.  This is the fixture-generation path for end-to-end tests
+    against realistic data when no recorded dataset can be bundled (this
+    build environment has no network egress and ships no public rosbag —
+    see PARITY.md "real recorded data").
     """
     rs = np.random.RandomState(seed + 17)
     static = make_world(seed, size=world_size)
@@ -210,10 +253,19 @@ def make_realistic_log(
                              mover_wh[m, 0], mover_wh[m, 1])
             )
         mover_pos = mover_pos + mover_vel * dt
-        ranges[i] = raycast(
-            np.concatenate(segs, axis=0), trajectory[i], n_beams,
-            angle_min, angle_increment, range_max,
-        )
+        if skew:
+            nxt = trajectory[i + 1] if i + 1 < n_scans else (
+                2 * trajectory[i] - trajectory[i - 1]
+            )
+            ranges[i] = raycast_swept(
+                np.concatenate(segs, axis=0), trajectory[i], nxt, n_beams,
+                angle_min, angle_increment, range_max,
+            )
+        else:
+            ranges[i] = raycast(
+                np.concatenate(segs, axis=0), trajectory[i], n_beams,
+                angle_min, angle_increment, range_max,
+            )
     noise = rs.normal(0, range_noise, ranges.shape)
     ranges = np.where(ranges > 0, np.maximum(ranges + noise, 0.01), 0.0)
     drop = rs.rand(*ranges.shape) < dropout
