@@ -255,6 +255,154 @@ def _load_log(path: str):
     return load_log(path)
 
 
+class MultiSessionNode:
+    """N concurrent SLAM sessions on one chip — the reference's dual-LiDAR
+    deployment (one OS process per sensor, `launch/lidar_front.launch` +
+    `lidar_back.launch`) as ONE process and one compiled program.
+
+    Sessions share one ``SlamConfig`` (one compile covers the pool — the
+    reference's front/back configs differ only in topics/outputs too);
+    per-session mount transforms and start poses come from the per-session
+    ``NodeConfig``s.  Scans are dispatched through
+    :class:`~ndtpso_slam_tpu.parallel.sessions.SlamSessionPool`, so sensors
+    at different rates interleave freely and each session's trajectory is
+    identical to running it alone (tests/test_sessions.py).
+    """
+
+    def __init__(self, node_cfgs: List[NodeConfig], verbose: bool = True):
+        from ndtpso_slam_tpu.parallel.sessions import SlamSessionPool
+
+        assert node_cfgs, "need at least one session config"
+        ref = node_cfgs[0].slam_config()
+        for c in node_cfgs[1:]:
+            if c.slam_config() != ref:
+                raise ValueError(
+                    "multi-session mode needs shape-identical SLAM configs "
+                    "(sessions share one compiled program); per-session "
+                    "init_pose / mount_trans may differ"
+                )
+        self.cfgs = node_cfgs
+        self.slam_cfg = ref
+        self.verbose = verbose
+        n = len(node_cfgs)
+        keys = np.stack(
+            [
+                np.array(
+                    [c.seed + 101 * i, (c.seed + 101 * i) ^ 0x9E3779B9],
+                    np.uint32,
+                )
+                for i, c in enumerate(node_cfgs)
+            ]
+        )
+        self.pool = SlamSessionPool(
+            ref,
+            np.stack([np.float32(c.init_pose) for c in node_cfgs]),
+            keys,
+        )
+        self._mounts = [
+            np.asarray(c.mount_trans, np.float32)
+            if any(abs(v) > 1e-9 for v in c.mount_trans) else None
+            for c in node_cfgs
+        ]
+        self.global_maps = [
+            export_mod.GlobalMap(keep_every=c.save_every) for c in node_cfgs
+        ]
+        self._pending_meta: List[List] = [[] for _ in range(n)]
+        self._steps = np.zeros(n, np.int64)
+
+    def submit_scan(self, session: int, ranges, angle_min, angle_increment,
+                    range_max, timestamp: float = 0.0, odom=None) -> None:
+        sc = scan_mod.load_laser(
+            np.asarray(ranges, np.float32), angle_min, angle_increment,
+            range_max, self.slam_cfg.scan, self.slam_cfg.map,
+            mount=self._mounts[session],
+        )
+        self.pool.submit(session, sc)
+        self._pending_meta[session].append((timestamp, odom, sc))
+
+    def poll(self):
+        """One pooled step; returns {session: (timestamp, pose [3])}."""
+        res = self.pool.poll()
+        out = {}
+        for sid, (pose, _cost) in res.items():
+            ts, odom, sc = self._pending_meta[sid].pop(0)
+            pose64 = np.asarray(pose, np.float64)
+            self.global_maps[sid].add_scan(
+                np.asarray(sc.points), np.asarray(sc.valid), pose64
+            )
+            self.global_maps[sid].add_pose(ts, pose64, odom)
+            self._steps[sid] += 1
+            out[sid] = (ts, pose64)
+            if self.verbose:
+                print(
+                    f"[ndtpso s{sid}] scan {self._steps[sid]}: pose "
+                    f"({pose64[0]:.3f}, {pose64[1]:.3f}, {pose64[2]:.3f})",
+                    file=sys.stderr,
+                )
+        return out
+
+    def run_logs(self, logs) -> List[np.ndarray]:
+        """Interleave N ScanLogs by timestamp (true async rates) and run to
+        completion.  Returns per-session [T_i, 3] pose arrays."""
+        n = len(logs)
+        assert n == len(self.cfgs)
+        events = sorted(
+            (float(lg.timestamps[i]), s, i)
+            for s, lg in enumerate(logs)
+            for i in range(len(lg.ranges))
+        )
+        poses: List[List[np.ndarray]] = [[] for _ in range(n)]
+
+        def drain_poll():
+            for sid, (_ts, pose) in self.poll().items():
+                poses[sid].append(pose)
+
+        last_ts = None
+        for ts, s, i in events:
+            if last_ts is not None and ts != last_ts:
+                drain_poll()
+            lg = logs[s]
+            odom = lg.odoms[i] if lg.odoms is not None else None
+            self.submit_scan(
+                s, lg.ranges[i], lg.angle_min, lg.angle_increment,
+                lg.range_max, timestamp=ts, odom=odom,
+            )
+            last_ts = ts
+        while self.pool.pending():
+            drain_poll()
+        return [np.array(p) for p in poses]
+
+    def shutdown(self, basename: Optional[str] = None) -> List[str]:
+        """Per-session export bundles: <basename>-s<i>.*"""
+        if basename is None:
+            basename = "ndtpso-" + time.strftime("%Y%m%d-%H%M%S")
+        files: List[str] = []
+        for sid, cfg in enumerate(self.cfgs):
+            st = self.pool.session_state(sid)
+            og = None
+            og_bbox = None
+            if st.og is not None:
+                og = np.asarray(st.og.og)
+                og_bbox = (
+                    int(st.og.min_x), int(st.og.max_x),
+                    int(st.og.min_y), int(st.og.max_y),
+                )
+            files += export_mod.dump_map(
+                f"{basename}-s{sid}",
+                global_map=self.global_maps[sid],
+                save_poses=True,
+                save_points=True,
+                save_image=cfg.save_map_images,
+                map_cfg=self.slam_cfg.map,
+                pso_cfg=self.slam_cfg.pso,
+                og=og,
+                og_bbox=og_bbox,
+                og_cfg=self.slam_cfg.og,
+                map_state=st.map,
+            )
+        return files
+
+
 def main(argv=None):
     # Honor JAX_PLATFORMS even when a sitecustomize pinned the platform
     # programmatically (the axon TPU image does; see tests/conftest.py).
@@ -272,8 +420,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser(
         description="ndtpso-tpu SLAM node: run SLAM over a recorded scan log"
     )
-    ap.add_argument("--scanlog", required=True, help=".ndtlog or .npz scan log")
-    ap.add_argument("--config", help="launch JSON (see launch/)")
+    ap.add_argument(
+        "--scanlog", required=True, action="append",
+        help=".ndtlog or .npz scan log; repeat the flag to run several "
+        "sensors' logs as concurrent sessions on one chip (the reference's "
+        "lidar_front + lidar_back two-process deployment in one program)",
+    )
+    ap.add_argument(
+        "--config", action="append",
+        help="launch JSON (see launch/); with multiple --scanlog, either one "
+        "shared config or one per log (shapes must match; init_pose / "
+        "mount_trans may differ)",
+    )
     ap.add_argument("--out", default=None, help="export basename")
     ap.add_argument("--checkpoint", help="save final SLAM state here (.npz)")
     ap.add_argument("--resume", help="restore SLAM state before running")
@@ -281,8 +439,8 @@ def main(argv=None):
         "--cost-mode",
         choices=list(slam.SLAM_COST_MODES),
         default=None,
-        help="exact | fast | fast_local | rollout* (rollout modes need "
-        "population and --max-beams as multiples of 128)",
+        help="exact | fast | fast_local | local_exact | rollout* (rollout "
+        "modes need --max-beams as a multiple of 128; any population works)",
     )
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--population", type=int, default=None)
@@ -315,14 +473,42 @@ def main(argv=None):
         overrides["recovery"] = True
     if args.save_images:
         overrides["save_map_images"] = True
-    if args.config:
-        node_cfg = NodeConfig.from_json(args.config, **overrides)
-    else:
-        node_cfg = dataclasses.replace(
+    def build_cfg(config_path):
+        if config_path:
+            return NodeConfig.from_json(config_path, **overrides)
+        return dataclasses.replace(
             NodeConfig(), **{k: v for k, v in overrides.items() if v is not None}
         )
 
-    log = _load_log(args.scanlog)
+    configs = args.config or [None]
+    if len(args.scanlog) > 1:
+        # Multi-session mode: N logs through one pooled program.
+        if args.resume or args.checkpoint:
+            ap.error("--resume/--checkpoint are single-session only")
+        if len(configs) == 1:
+            configs = configs * len(args.scanlog)
+        if len(configs) != len(args.scanlog):
+            ap.error("--config count must be 1 or match --scanlog count")
+        node_cfgs = [build_cfg(c) for c in configs]
+        logs = [_load_log(p) for p in args.scanlog]
+        mnode = MultiSessionNode(node_cfgs, verbose=not args.quiet)
+        t0 = time.time()
+        poses = mnode.run_logs(logs)
+        dt = time.time() - t0
+        total = sum(len(p) for p in poses)
+        print(
+            f"[ndtpso] processed {total} scans over {len(logs)} sessions in "
+            f"{dt:.2f}s ({total / dt:.2f} Hz aggregate)",
+            file=sys.stderr,
+        )
+        for f in mnode.shutdown(args.out):
+            print(f"[ndtpso] wrote {f}", file=sys.stderr)
+        return 0
+    if len(configs) != 1:
+        ap.error("one --scanlog takes at most one --config")
+    node_cfg = build_cfg(configs[0])
+
+    log = _load_log(args.scanlog[0])
     node = SlamNode(node_cfg, verbose=not args.quiet)
     if args.resume:
         node.load_checkpoint(args.resume)

@@ -76,6 +76,57 @@ def test_interleaved_sessions_match_solo_runs():
         np.testing.assert_array_equal(np.stack(got), np.asarray(solo_poses))
 
 
+def test_multi_session_node_matches_solo_nodes(tmp_path):
+    """MultiSessionNode (the dual-LiDAR CLI mode) == two solo SlamNodes on
+    the same logs, and per-session export bundles are written."""
+    import dataclasses
+
+    from ndtpso_slam_tpu.node import MultiSessionNode, NodeConfig, SlamNode
+
+    base = NodeConfig(
+        frame_size_m=48.0, cell_side_m=1.0, window_slots=4, max_beams=128,
+        pso_iterations=8, pso_population=40, cost_mode="fast", build_og=False,
+    )
+    cfgs = [
+        dataclasses.replace(base, init_pose=(8.0, 0.0, np.pi / 2)),
+        dataclasses.replace(base, init_pose=(8.0, 0.0, np.pi / 2),
+                            mount_trans=(0.1, 0.0, 0.05)),
+    ]
+    lg0 = synthetic.make_log(seed=3, n_scans=6, n_beams=120, world_size=40.0)
+    lg1 = synthetic.make_log(seed=4, n_scans=4, n_beams=120, world_size=40.0,
+                             dt=0.15)  # a slower sensor
+    mnode = MultiSessionNode(cfgs, verbose=False)
+    poses = mnode.run_logs([lg0, lg1])
+    assert len(poses[0]) == 6 and len(poses[1]) == 4
+
+    for cfg, lg, got, seed_off in ((cfgs[0], lg0, poses[0], 0),
+                                   (cfgs[1], lg1, poses[1], 1)):
+        solo = SlamNode(
+            dataclasses.replace(cfg, seed=cfg.seed + 101 * seed_off),
+            verbose=False,
+        )
+        solo_poses = solo.run_log(lg)
+        np.testing.assert_array_equal(np.asarray(got), solo_poses)
+
+    files = mnode.shutdown(str(tmp_path / "duo"))
+    assert any("duo-s0" in f and f.endswith(".pose.csv") for f in files)
+    assert any("duo-s1" in f and f.endswith(".pose.csv") for f in files)
+
+
+def test_multi_session_rejects_mismatched_shapes():
+    import dataclasses
+
+    import pytest
+
+    from ndtpso_slam_tpu.node import MultiSessionNode, NodeConfig
+
+    a = NodeConfig(frame_size_m=48.0, cell_side_m=1.0, max_beams=128,
+                   window_slots=4)
+    b = dataclasses.replace(a, max_beams=256)
+    with pytest.raises(ValueError, match="shape-identical"):
+        MultiSessionNode([a, b])
+
+
 def test_pool_session_state_slices_one_session():
     lg0, scans0 = _load_log(5, 3)
     lg1, scans1 = _load_log(6, 3)
