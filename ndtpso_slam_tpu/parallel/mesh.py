@@ -39,12 +39,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SOLVE_AXIS) -> Mesh:
 
 STENCIL_RADIUS = cost_mod.DEFAULT_STENCIL_RADIUS
 
-# The current TPU toolchain reproducibly wedges at device->host readback when
-# a bf16-scoring rollout grid has >= 128 steps (bisected: B=64 fine, B=128
-# hangs, f32 fine at B=256 — experiments/bisect_bf16/README.md).  Blocks of
-# 64 grid steps sidestep it with ~no overhead (one extra kernel launch per
-# ~25 ms block); per-solve results are identical (independent grid steps).
-BF16_ROLLOUT_GRID_BLOCK = 64
+# The current TPU toolchain wedges at device->host readback (minutes-long
+# stalls, sometimes past any timeout) after executing rollout pallas grids
+# with >= 128 steps: reproducibly for bf16 scoring (bisected: B=64 fine,
+# B=128 hung — experiments/bisect_bf16/README.md) and intermittently for
+# f32 at B=256 through the unsharded dispatch.  Blocks of 64 grid steps
+# sidestep the whole class with ~no overhead (one extra kernel launch per
+# ~25 ms block; the chunked bf16 run measured FASTER than the single-grid
+# f32 one); per-solve results are identical (independent grid steps).
+ROLLOUT_GRID_BLOCK = 64
 
 # Every batched cost/solver mode `_solve_batch_impl` dispatches on.  The
 # dispatch below uses prefix/substring checks, so an unknown string must be
@@ -124,13 +127,12 @@ def _solve_batch_impl(
             in_axes=(0, snap_ax, 0, 0),
         )(guesses, snaps, points, valid)
         sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, points)
-        bf16 = "bf16" in cost_mode
         pose, cost = pso_rollout(
             keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
             radius=STENCIL_RADIUS, interpret=interpret,
-            score_dtype="bf16" if bf16 else "f32",
+            score_dtype="bf16" if "bf16" in cost_mode else "f32",
             rng_mode="native" if "turbo" in cost_mode else "threefry",
-            grid_block=BF16_ROLLOUT_GRID_BLOCK if bf16 else None,
+            grid_block=ROLLOUT_GRID_BLOCK,
         )
         return PsoResult(pose=pose.astype(guesses.dtype), cost=cost)
     if cost_mode in ("fast_fused", "fast_local_fused"):
