@@ -107,6 +107,14 @@ def main():
     ap.add_argument("--full-scale", action="store_true",
                     help="slam config: reference deployment scale "
                     "(300 m frame, 0.5 m cells, 100-slot window, 0.1 m OG)")
+    ap.add_argument("--window-slots", type=int, default=None, metavar="S",
+                    help="slam config: override the sliding-window slot "
+                    "count (the HBM knob: ring state scales linearly; "
+                    "full-scale default 100, test default 8)")
+    ap.add_argument("--patch-range", type=float, default=30.0, metavar="M",
+                    help="slam full-scale: laser range the rolled stencil "
+                    "patch must cover (0 = roll the full cell table instead "
+                    "of a dynamic-slice patch; A/B knob for the bind cost)")
     ap.add_argument("--soak", type=int, default=None, metavar="T",
                     help="slam config: long-soak mode — T scans (1000+) on a "
                     "~157 m warehouse loop at full deployment scale; asserts "
@@ -336,11 +344,15 @@ def bench_slam(args):
         # stencil binders roll a scan-sized patch instead of the 360k-cell
         # table (cost.py:bind_neighborhood).
         map_cfg = cfgm.MapConfig(size_m=300.0, cell_side_m=0.5, window_slots=100)
-        map_cfg = dataclasses.replace(
-            map_cfg, stencil_patch_cells=map_cfg.patch_cells_for_range(30.0)
-        )
+        if args.patch_range > 0:
+            map_cfg = dataclasses.replace(
+                map_cfg,
+                stencil_patch_cells=map_cfg.patch_cells_for_range(args.patch_range),
+            )
     else:
         map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
+    if args.window_slots:
+        map_cfg = dataclasses.replace(map_cfg, window_slots=args.window_slots)
     cfg = cfgm.SlamConfig(
         pso=cfgm.PSOConfig(iterations=30, population=max(args.particles, 50)),
         map=map_cfg,
@@ -423,12 +435,12 @@ def bench_slam(args):
     log(f"traj err: mean {err.mean():.4f} m, max {err.max():.4f} m, "
         f"worst robot mean {per_robot.max():.4f} m")
     if args.soak:
-        # Scan-to-map drift accumulates over a 157 m loop with no loop
-        # closure (the reference has none either); the gate bounds drift
-        # rate, not absolute error: <1% of the ~157 m traversed.
-        assert per_robot.max() < 1.0 and err.max() < 2.5, (
+        # Calibrated on the 2400-scan dock+oval log: CPU reference run
+        # measured mean 0.005 m / max 0.68 m over the 153 m lap (no loop
+        # closure — the reference has none either).
+        assert per_robot.max() < 0.15 and err.max() < 1.5, (
             f"soak drift regressed: per-robot mean {np.round(per_robot, 4)} "
-            f"m, max {err.max():.4f} m over ~157 m traversed"
+            f"m, max {err.max():.4f} m over the ~153 m lap"
         )
         rot = np.asarray(final_state.map.rot_count).reshape(b, -1)
         wrapped_cells = (rot >= cfg.map.window_slots).sum(axis=-1)
@@ -467,6 +479,8 @@ def bench_slam(args):
     scale = "_fullscale" if args.full_scale else ""
     if args.soak:
         scale = f"_soak{args.soak}"
+    if args.window_slots:
+        scale += f"_w{args.window_slots}"
     og = "_og" if args.og else ""
     robots = f"_{b}robots" if b > 1 else ""
     print(json.dumps({

@@ -30,7 +30,7 @@ run slam_fullscale       --config slam --full-scale
 run slam_fullscale_og    --config slam --full-scale --og
 run slam_8robots         --config slam --robots 8
 run_t 900 slam_fullscale_8robots --config slam --full-scale --robots 8
-run_t 900 slam_soak1200 --config slam --soak 1200 --og
+run_t 900 slam_soak2400 --config slam --soak 2400 --og
 
 # Recovery — kidnapped-robot relocalization event latency
 run recovery             --config recovery

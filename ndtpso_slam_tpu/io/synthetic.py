@@ -161,23 +161,33 @@ def make_log(
     )
 
 
-def make_soak_world(seed: int = 0, extent: float = 120.0,
-                    pillar_every: float = 12.0) -> np.ndarray:
-    """A warehouse-scale world for long soaks: an `extent`-sized hall with a
-    regular pillar grid, so a 30 m-range LiDAR always sees structure anywhere
-    inside — unlike `make_world`, whose single room goes featureless past
-    range_max when scaled up.  Returns segments [M, 4]."""
+def make_soak_world(seed: int = 0, length: float = 90.0,
+                    half_width: float = 3.0) -> np.ndarray:
+    """A warehouse-aisle corridor for long soaks: two long walls
+    `2*half_width` apart with boxes/alcoves along them every few metres
+    (longitudinal texture — a bare corridor is ambiguous along its axis) and
+    end caps.  Walls stay 2-3 m from a patrolling robot the whole run, which
+    is what pushes enough points through the near cells to rotate their
+    100-slot sliding windows all the way around.  Returns segments [M, 4]."""
     rs = np.random.RandomState(seed)
-    segs = [box_segments(0, 0, extent, extent)]
-    k = int(extent // (2 * pillar_every))
-    for i in range(-k, k + 1):
-        for j in range(-k, k + 1):
-            cx = i * pillar_every + rs.uniform(-1.0, 1.0)
-            cy = j * pillar_every + rs.uniform(-1.0, 1.0)
-            if abs(cx) > extent / 2 - 2 or abs(cy) > extent / 2 - 2:
-                continue
-            w, h = rs.uniform(0.6, 1.8, 2)
-            segs.append(box_segments(cx, cy, w, h))
+    hl = length / 2
+    segs = [
+        np.array([[-hl, -half_width, hl, -half_width],
+                  [-hl, half_width, hl, half_width],
+                  [-hl, -half_width, -hl, half_width],
+                  [hl, -half_width, hl, half_width]], np.float64)
+    ]
+    x = -hl + 4.0
+    while x < hl - 4.0:
+        for side in (-1.0, 1.0):
+            if rs.rand() < 0.8:
+                w = rs.uniform(0.4, 1.2)
+                d = rs.uniform(0.3, 0.9)
+                segs.append(box_segments(
+                    x + rs.uniform(-1.0, 1.0),
+                    side * (half_width - d / 2), w, d,
+                ))
+        x += rs.uniform(5.0, 9.0)
     return np.concatenate(segs, axis=0)
 
 
@@ -187,22 +197,53 @@ def make_soak_log(
     n_beams: int = 360,
     range_max: float = 30.0,
     dt: float = 0.1,
-    loop_radius: float = 25.0,
+    amplitude: float = 38.0,
 ) -> ScanLog:
-    """Deployment-scale soak log: `n_scans` scans on a large loop through a
-    pillar-grid hall.  Defaults traverse 2π·25 ≈ 157 m per loop at ~1.3 m/s —
-    the ≥150 m / 1000+ scans regime of the reference's 300 m frame deployment
-    (`ndtpso_slam_node.hpp:25-34`) — while keeping central structure inside
-    LiDAR range the whole run, so long-observed cells rotate their sliding
-    window far enough to WRAP the 100-slot ring (`config.h:8`) and exercise
-    eviction, which short benches never reach."""
-    ts = np.arange(n_scans) * dt
-    omega = 2.0 * np.pi / (n_scans * dt)  # exactly one loop over the log
-    traj = np.stack(
-        [loop_radius * np.cos(omega * ts), loop_radius * np.sin(omega * ts),
-         np.unwrap(omega * ts + np.pi / 2)], axis=-1,
+    """Deployment-scale soak log: a dock dwell then one oval patrol lap of
+    a warehouse aisle (stadium path ≈ 4·amplitude ≈ 152 m — the ≥150 m /
+    1000+ scans regime of the reference's 300 m frame deployment,
+    `ndtpso_slam_node.hpp:25-34`).  The dwell phase is what drives the
+    sliding windows of the dock's wall cells around the full ring —
+    the WRAP/eviction regime (`ndtcell.cpp:61-65` mod `config.h:8`'s 100)
+    that short benches never reach; the lap phase exercises long-range
+    traverse, the U-turns, and map reuse on return."""
+    ts = np.arange(n_scans, dtype=np.float64)
+    dwell = min(n_scans // 6, 400)
+    # Phase 1 — dock dwell: the robot sits ~2 m from a wall for `dwell`
+    # scans (boot/charge/inspection stop) with millimetre pose jitter.
+    # This is what guarantees the ring WRAP: the near wall cells take
+    # >capacity points every couple of scans, so their windows rotate
+    # >window_slots times during the dwell alone — drive-by passes
+    # physically cannot push 100 slots × 50 points through one 0.5 m cell.
+    # Phase 2 — one oval patrol lap (stadium path, 4·amplitude ≈ 152 m).
+    # The heading follows the exact velocity of the oval, so the heading
+    # rate is continuous and never zero: the reference's adaptive search
+    # radius (2·pose-diff, `ndtframe.cpp:253`) collapses on any trajectory
+    # with a zero-motion dimension, and a U-turn entered from dθ = 0 is
+    # invisible to the solver — an oval never does that to it.  (Both
+    # failure modes were observed, not hypothesized: see the round-3 soak
+    # probes.)
+    b_axis = 1.5
+    phi0 = np.pi / 4
+    # Smoothstep lap progress: pulling away from the dock (and stopping at
+    # the end) ramps the speed from zero, so the first motion step never
+    # outruns the deviation learned from the dwell jitter.
+    tau = np.clip((ts - dwell) / max(n_scans - 1 - dwell, 1), 0.0, 1.0)
+    lap = tau * tau * (3.0 - 2.0 * tau)
+    phi = phi0 + 2.0 * np.pi * lap
+    x = amplitude * np.cos(phi)
+    y = b_axis * np.sin(phi)
+    # Dwell jitter (real robots are never bit-still; keeps deviation alive).
+    jit = ts < dwell
+    x = x + np.where(jit, 0.01 * np.sin(2 * np.pi * ts / 50.0), 0.0)
+    y = y + np.where(jit, 0.008 * np.cos(2 * np.pi * ts / 37.0), 0.0)
+    # Exact tangent heading of the oval (well-defined even while dwelling).
+    heading = np.unwrap(
+        np.arctan2(b_axis * np.cos(phi), -amplitude * np.sin(phi))
     )
-    segs = make_soak_world(seed, extent=max(4 * loop_radius, 100.0))
+    heading = heading + np.where(jit, 0.01 * np.sin(2 * np.pi * ts / 70.0), 0.0)
+    traj = np.stack([x, y, heading], axis=-1)
+    segs = make_soak_world(seed, length=2 * amplitude + 14.0)
     return make_log(
         seed=seed, n_scans=n_scans, n_beams=n_beams, range_max=range_max,
         dt=dt, trajectory=traj, segments=segs,
