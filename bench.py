@@ -111,10 +111,11 @@ def main():
                     help="slam config: override the sliding-window slot "
                     "count (the HBM knob: ring state scales linearly; "
                     "full-scale default 100, test default 8)")
-    ap.add_argument("--patch-range", type=float, default=30.0, metavar="M",
+    ap.add_argument("--patch-range", type=float, default=0.0, metavar="M",
                     help="slam full-scale: laser range the rolled stencil "
-                    "patch must cover (0 = roll the full cell table instead "
-                    "of a dynamic-slice patch; A/B knob for the bind cost)")
+                    "patch must cover; 0 (default) rolls the full cell "
+                    "table — measured 2.2x FASTER at 360k cells than the "
+                    "dynamic-slice patch (benchlogs/slam_fullscale_nopatch)")
     ap.add_argument("--soak", type=int, default=None, metavar="T",
                     help="slam config: long-soak mode — T scans (1000+) on a "
                     "~157 m warehouse loop at full deployment scale; asserts "
@@ -586,11 +587,15 @@ def bench_recovery(args):
         t0 = time.time()
         out = fn()
         jax.block_until_ready(out)
+        np.asarray(out[1])  # force a real device->host round-trip
         compile_s = time.time() - t0
-        jax.block_until_ready(fn())
+        np.asarray(fn()[1])
+        # Through the axon relay, block_until_ready alone can return before
+        # the queued work executes (observed: 0.2 ms "steps"); timing a
+        # dispatch-then-single-readback batch charges the queue honestly.
         t0 = time.time()
         outs = [fn() for _ in range(reps)]
-        jax.block_until_ready(outs[-1])
+        np.asarray(outs[-1][1])
         dt = (time.time() - t0) / reps
         log(f"{label}: {dt*1e3:.2f} ms/step (compile+first {compile_s:.1f}s)")
         return out, dt

@@ -10,6 +10,9 @@ run() { name=$1; shift; python bench.py "$@" >"$out/$name.json" 2>"$out/$name.lo
 
 run slam_rollout_turbo --config slam --mode rollout_turbo
 run slam_rollout       --config slam --mode rollout
+# Recovery re-measure with forced readbacks (block_until_ready through the
+# axon relay returned before execution; see bench.py:timed).
+run recovery           --config recovery
 # A/B the full-scale stencil patch (r2's 317.6 was measured pre-patch;
 # this round's patched run measured 142.5 — find the regression).
 run slam_fullscale_nopatch --config slam --full-scale --patch-range 0

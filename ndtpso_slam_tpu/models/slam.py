@@ -256,7 +256,9 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
     # --- stage 1: coarse grid sweep + NMS hypothesis extraction.
     grid = _reloc_grid(last_pose, rc, dtype)
     g = grid.shape[0]
-    chunk = next(c for c in range(min(1024, g), 0, -1) if g % c == 0)
+    # Chunk cap bounds the [chunk, N] scoring intermediate (~12 MB at 8192
+    # x 384); fewer, larger chunks = fewer serial lax.map steps on TPU.
+    chunk = next(c for c in range(min(8192, g), 0, -1) if g % c == 0)
     coarse_snap = ndt_map.smooth_snapshot(snap, rc.grid_sigma)
     coarse = lambda poses: cost_mod.ndt_cost(
         poses, coarse_snap, scan.points, scan.valid, cfg.map
@@ -277,6 +279,15 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
 
     # --- stage 2: per-hypothesis independent PSO on the lightly inflated
     # cost (fresh keys, decoupled from the solve's pair-counter space).
+    # Cost formulation: the one-hot MXU binder rebound at each swarm's
+    # incumbent best (cost_mod.bind_points_matmul + bound_cost) — the same
+    # recipe as the multiswarm relocalization bench path.  The previous
+    # exact-gather cost paid a serial row-gather per particle×point×
+    # iteration on TPU — measured 320 ms per recovery event; the one-hot
+    # matmul binding is bit-identical to the gather binding and runs on the
+    # MXU.  (A stencil-exact formulation is NOT usable here: under the
+    # ±π/±0.3 rad relocalization search, far points rotate metres away from
+    # any anchor-gathered stencil.)
     rk = rng.threefry2x32(
         key, jnp.asarray(0x5EC0, jnp.uint32), jnp.asarray(0xFA11, jnp.uint32)
     )
@@ -287,28 +298,40 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
         ndt_map.smooth_snapshot(snap, rc.refine_sigma)
         if rc.refine_sigma > 0 else snap
     )
-    refine_fn = lambda poses, bind: cost_mod.ndt_cost(
-        poses, refine_snap, scan.points, scan.valid, cfg.map
-    )
+    refine_tbl = cost_mod.snapshot_table(refine_snap)
     dev = jnp.asarray(rc.deviation, dtype)
+    refine_fn = lambda poses, bind: cost_mod.bound_cost(
+        poses,
+        cost_mod.bind_points_matmul(bind, refine_tbl, scan.points, scan.valid,
+                                    cfg.map),
+    )
     refined = jax.vmap(
         lambda kk, h: pso_solve((kk[0], kk[1]), h, dev, refine_fn, rc.pso).pose
     )(jnp.stack([k0, k1], -1), hypo)
 
-    # --- stage 3: exact polish of every hypothesis, winner by exact cost.
-    # Collapsing to one winner *before* the exact stage would let a smoothed
-    # false basin beat the true one; keeping all K alive to here is what
-    # disambiguates them.
+    # --- stage 3: polish of every hypothesis on the un-inflated map (same
+    # binder, exact table), then the winner picked by a true exact-cost
+    # re-score of the K final poses (one batched gather eval — the accept
+    # decision in slam_step compares against the align's exact cost, so the
+    # winning number must stay the exact objective).  Collapsing to one
+    # winner *before* the polish would let a smoothed false basin beat the
+    # true one; keeping all K alive to here is what disambiguates them.
     p0, p1 = rng.threefry2x32(
         rk, jnp.arange(k, dtype=jnp.uint32) + jnp.asarray(0x907, jnp.uint32),
         jnp.full((k,), 0x13, jnp.uint32),
     )
     pdev = jnp.asarray((0.1, 0.1, 0.05), dtype)
-    exact_fn = lambda poses, bind: score(poses)
+    exact_tbl = cost_mod.snapshot_table(snap)
+    polish_fn = lambda poses, bind: cost_mod.bound_cost(
+        poses,
+        cost_mod.bind_points_matmul(bind, exact_tbl, scan.points, scan.valid,
+                                    cfg.map),
+    )
     polished = jax.vmap(
-        lambda kk, h: pso_solve((kk[0], kk[1]), h, pdev, exact_fn, rc.pso)
+        lambda kk, h: pso_solve((kk[0], kk[1]), h, pdev, polish_fn, rc.pso).pose
     )(jnp.stack([p0, p1], -1), refined)
-    best_cost, best_pose = _select_min(polished.cost, polished.pose)
+    final_costs = score(polished)
+    best_cost, best_pose = _select_min(final_costs, polished)
     return best_pose.astype(dtype), best_cost.astype(dtype)
 
 

@@ -67,11 +67,15 @@ class NodeConfig:
     recovery: bool = False
     recovery_fitness_threshold: float = 0.15
     recovery_hypotheses: int = 8
-    # Max laser range the stencil patch must cover (m); 0 disables patching.
-    # On large frames the stencil binders then roll a scan-sized
-    # dynamic-slice window instead of the whole cell table (cost.py:
-    # bind_neighborhood) — identical results while scans stay within range.
-    patch_range_m: float = 30.0
+    # Max laser range the stencil patch must cover (m); 0 (default) rolls
+    # the full cell table.  >0 makes the stencil binders roll a scan-sized
+    # dynamic-slice window instead (cost.py:bind_neighborhood) — identical
+    # results while scans stay within range, and less transient HBM — but
+    # MEASURED 2.2x SLOWER at the reference's 360k-cell deployment scale
+    # (142.5 vs 317.5 scans/s, benchlogs/slam_fullscale[_nopatch].json):
+    # the dynamic-slice pipeline costs more than the 216 MB full-table roll
+    # it saves.  Keep 0 unless HBM-constrained.
+    patch_range_m: float = 0.0
 
     def slam_config(self) -> cfgm.SlamConfig:
         map_cfg = cfgm.MapConfig(
