@@ -469,10 +469,34 @@ def bench_slam(args):
             f"{np.round(per_robot, 4)} m, max {err.max():.4f} m"
         )
 
+    # Release the accuracy-run's session state before any further dispatch:
+    # holding it across the warmup would keep TWO fleet states live (~2.8
+    # GiB each at full scale x 8 robots) and OOM HBM.
+    del final_state
     jax.block_until_ready(run()[1])
+    # Queued reps each allocate their session-state output AT DISPATCH; for
+    # a full-scale fleet that is ~3 GB per rep and the queue OOMs HBM
+    # (observed RESOURCE_EXHAUSTED).  Big-state configs therefore time
+    # sequential blocking reps (costs one dispatch round-trip per rep,
+    # ~5% on a 50-scan program — noted here for honest comparison);
+    # small-state configs keep the pipelined-queue protocol.
+    state_bytes = sum(
+        np.prod(x.shape) * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(state0)
+    )
+    sequential = state_bytes * (args.reps + 1) > 6e9
     t0 = time.time()
-    outs = [run() for _ in range(args.reps)]
-    jax.block_until_ready(outs[-1][1])
+    if sequential:
+        log(f"timing protocol: sequential blocking reps "
+            f"(state {state_bytes/2**30:.2f} GiB x {args.reps} reps would "
+            "overflow HBM if queued)")
+        for _ in range(args.reps):
+            st_r, poses_r, costs_r = run()
+            jax.block_until_ready(poses_r)
+            del st_r, poses_r, costs_r
+    else:
+        outs = [run() for _ in range(args.reps)]
+        jax.block_until_ready(outs[-1][1])
     total = time.time() - t0
     scans_per_s = b * n_scans * args.reps / total
     log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s aggregate over {b} "

@@ -72,7 +72,7 @@ def main():
     )
 
     results = {}
-    for mode in ("exp", "exp2"):
+    for mode in ("exp", "exp2", "approx"):
         run = lambda: pso_rollout(
             *args, pso_cfg, map_cfg,
             radius=cost_mod.DEFAULT_STENCIL_RADIUS, interpret=interp,
@@ -93,7 +93,7 @@ def main():
         print(f"{mode}: {b / dt:.1f} solves/s", file=sys.stderr)
 
     base = results["exp"]
-    for mode in ("exp2",):
+    for mode in ("exp2", "approx"):
         sp, pose, cost = results[mode]
         dpose = np.abs(pose - base[1]).max()
         dcost = np.abs((cost - base[2]) / base[2]).max()

@@ -268,6 +268,17 @@ def _rollout_kernel(
             # experiment knob of experiments/exp_lever.py (the [N, P]
             # transcendental is the measured VPU bottleneck of this kernel).
             s = jax.lax.exp2(zc * f32(-0.5 / np.log(2.0)))
+        elif exp_mode == "approx":
+            # Schraudolph 2^x: write x into the float32 exponent field with
+            # integer arithmetic — multiply/add/convert/bitcast only, no
+            # transcendental at all.  ~2% worst-case relative score error
+            # (bias constant tuned for min RMS); the score sum and the PSO
+            # ranking tolerate it (measured: see experiments/exp_lever.py).
+            x = jnp.maximum(zc * f32(-0.5 / np.log(2.0)), f32(-126.0))
+            i = (x * f32(1 << 23)).astype(jnp.int32) + jnp.int32(
+                127 * (1 << 23) - 366393
+            )
+            s = jax.lax.bitcast_convert_type(i, jnp.float32)
         else:
             s = jnp.exp(-0.5 * zc)
         return -jnp.sum(s, axis=0, keepdims=True)  # [1, P]
