@@ -41,7 +41,7 @@ from ndtpso_slam_tpu.models.scan import Scan
 from ndtpso_slam_tpu.ops import rng
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def pool_step(
     states: slam_mod.SlamState,  # stacked [B] leading axis
     scans: Scan,  # [B, N, ...]
@@ -54,6 +54,13 @@ def pool_step(
     Inactive sessions compute a throwaway step on a dummy scan and keep
     their prior state bitwise (scalar-condition `where` over every leaf).
     Returns (new_states, poses [B, 3], costs [B]).
+
+    ``states`` is DONATED: the pool replaces its handle with the returned
+    state every poll, and donation lets XLA update the multi-GiB ring
+    buffers in place across calls — without it, a batched fleet at
+    deployment scale pays a full ring copy per step (the vmap
+    carry-aliasing wall measured in BENCH.md's fleet section; the pooled
+    per-step dispatch with donation is the fast path for big fleets).
     """
 
     def one(state, scan, bk, act):
@@ -90,7 +97,14 @@ class SlamSessionPool:
         keys = np.asarray(base_keys, np.uint32)
         assert keys.shape == (self.n_sessions, 2)
         self.base_keys = jnp.asarray(keys)
-        self.states = slam_mod.init_slam_batch(cfg, poses)
+        # Eager per-leaf copies: the jitted init can alias identical
+        # all-zero leaves to ONE buffer, which pool_step's donation then
+        # rejects ("attempt to donate the same buffer twice").  Unique
+        # buffers here stay unique forever (each poll's outputs reuse the
+        # donated inputs 1:1).
+        self.states = jax.tree_util.tree_map(
+            jnp.copy, slam_mod.init_slam_batch(cfg, poses)
+        )
         self._queues: List[deque] = [deque() for _ in range(self.n_sessions)]
         self._dummy = np.zeros((cfg.scan.max_beams, 2), np.float32)
         self._dummy_valid = np.zeros((cfg.scan.max_beams,), bool)
