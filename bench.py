@@ -111,6 +111,11 @@ def main():
                     help="slam config: override the sliding-window slot "
                     "count (the HBM knob: ring state scales linearly; "
                     "full-scale default 100, test default 8)")
+    ap.add_argument("--ring-rows", type=int, default=None, metavar="R",
+                    help="slam config: sparse sliding-window storage — "
+                    "allocate R ring rows assigned to cells on first build "
+                    "instead of one per cell (MapConfig.ring_rows); shrinks "
+                    "ring HBM/copy traffic by C/R")
     ap.add_argument("--patch-range", type=float, default=0.0, metavar="M",
                     help="slam full-scale: laser range the rolled stencil "
                     "patch must cover; 0 (default) rolls the full cell "
@@ -354,6 +359,8 @@ def bench_slam(args):
         map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
     if args.window_slots:
         map_cfg = dataclasses.replace(map_cfg, window_slots=args.window_slots)
+    if args.ring_rows:
+        map_cfg = dataclasses.replace(map_cfg, ring_rows=args.ring_rows)
     cfg = cfgm.SlamConfig(
         pso=cfgm.PSOConfig(iterations=30, population=max(args.particles, 50)),
         map=map_cfg,
@@ -506,6 +513,8 @@ def bench_slam(args):
         scale = f"_soak{args.soak}"
     if args.window_slots:
         scale += f"_w{args.window_slots}"
+    if args.ring_rows:
+        scale += f"_r{args.ring_rows}"
     og = "_og" if args.og else ""
     robots = f"_{b}robots" if b > 1 else ""
     print(json.dumps({

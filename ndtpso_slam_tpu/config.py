@@ -83,6 +83,19 @@ class MapConfig:
     # see `patch_cells_for_range`.  Scores outside the patch are 0 (the
     # out-of-map convention), bit-identical otherwise.
     stencil_patch_cells: int = 0
+    # Sparse sliding-window storage: number of ring-buffer ROWS to allocate
+    # (0 = dense, one row per cell — the bit-parity default).  The reference
+    # stores cells in a sparse structure and only *touched* cells ever own
+    # window state; dense [C, S] rings at the 300 m deployment scale are
+    # 849 MB of which a deployment touches a few percent, and XLA's
+    # scatter-in-carry lowering pays a full ring copy per scan
+    # (experiments/batched_scatter_ab.py), so ring bytes are the fleet's
+    # throughput AND memory ceiling.  With ring_rows = R > 0, ring arrays
+    # are [R, S, ...] plus a [C] cell->row indirection assigned on first
+    # build; cells beyond R map to a scratch row and never build (size R to
+    # the deployment's visited-cell count — overflow is observable via
+    # `ring_overflowed`).  Only the `build_touched` path supports R > 0.
+    ring_rows: int = 0
 
     @property
     def cells_per_side(self) -> int:

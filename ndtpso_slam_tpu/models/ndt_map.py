@@ -67,11 +67,23 @@ class NdtMapState(struct.PyTreeNode):
     g_sum: jnp.ndarray  # [C, 2]
     g_count: jnp.ndarray  # [C] int32
     g_cov: jnp.ndarray  # [C, 3]
-    # Ring buffer of per-slot partials (`s_partial_*`)
-    slot_sum: jnp.ndarray  # [C, S, 2]
-    slot_count: jnp.ndarray  # [C, S] int32
-    slot_cov: jnp.ndarray  # [C, S, 3]
+    # Ring buffer of per-slot partials (`s_partial_*`).  Dense mode
+    # (cfg.ring_rows == 0): one row per cell, [C, S, ...].  Sparse mode
+    # (ring_rows = R > 0): [R, S, ...] rows assigned to cells on first
+    # build via `ring_map` — the reference only ever allocates window state
+    # for touched cells (its map is a sparse structure), and ring bytes are
+    # both the fleet's HBM ceiling and, under XLA's copy-on-scatter carry
+    # lowering, its throughput ceiling (see MapConfig.ring_rows).
+    slot_sum: jnp.ndarray  # [C|R, S, 2]
+    slot_count: jnp.ndarray  # [C|R, S] int32
+    slot_cov: jnp.ndarray  # [C|R, S, 3]
     slot_idx: jnp.ndarray  # [C] int32 current window slot
+    # Sparse-mode indirection: cell -> ring row (-1 unassigned); shape [0]
+    # in dense mode.  ring_used counts assigned rows; ring_overflow counts
+    # first-build attempts that found no free row (those cells never build).
+    ring_map: jnp.ndarray  # [C] int32 (sparse) | [0] (dense)
+    ring_used: jnp.ndarray  # [] int32
+    ring_overflow: jnp.ndarray  # [] int32
     # Cumulative ring rotations per cell (observability: slot_idx alone is
     # mod-S, so whether the window ever WRAPPED — i.e. old slots were
     # evicted, `ndtcell.cpp:61-65` going all the way around — is invisible
@@ -87,6 +99,8 @@ def init_map(cfg: MapConfig, dtype=jnp.float32) -> NdtMapState:
     """Fresh all-zero map (NDTFrame ctor, `ndtframe.cpp:19-66`)."""
     c = cfg.num_cells
     s = cfg.window_slots
+    r = cfg.ring_rows if cfg.ring_rows > 0 else c
+    sparse = cfg.ring_rows > 0
     f = lambda *shape: jnp.zeros(shape, dtype)
     return NdtMapState(
         mean_c=f(c, 2),
@@ -96,10 +110,13 @@ def init_map(cfg: MapConfig, dtype=jnp.float32) -> NdtMapState:
         g_sum=f(c, 2),
         g_count=jnp.zeros((c,), jnp.int32),
         g_cov=f(c, 3),
-        slot_sum=f(c, s, 2),
-        slot_count=jnp.zeros((c, s), jnp.int32),
-        slot_cov=f(c, s, 3),
+        slot_sum=f(r, s, 2),
+        slot_count=jnp.zeros((r, s), jnp.int32),
+        slot_cov=f(r, s, 3),
         slot_idx=jnp.zeros((c,), jnp.int32),
+        ring_map=jnp.full((c if sparse else 0,), -1, jnp.int32),
+        ring_used=jnp.asarray(0, jnp.int32),
+        ring_overflow=jnp.asarray(0, jnp.int32),
         rot_count=jnp.zeros((c,), jnp.int32),
         cur_sum=f(c, 2),
         cur_count=jnp.zeros((c,), jnp.int32),
@@ -186,6 +203,12 @@ def build(state: NdtMapState, cfg: MapConfig) -> NdtMapState:
          (advance slot index mod S, zero the open accumulators).
     All branches are masks; the whole thing is one fused elementwise pass.
     """
+    if cfg.ring_rows > 0:
+        raise ValueError(
+            "the dense build() needs one ring row per cell; sparse maps "
+            "(MapConfig.ring_rows > 0) must build through build_touched "
+            "(the slam_step path)"
+        )
     dtype = state.cur_sum.dtype
     # --- 1. WINDOW_ADD sums/counts (ndtcell.cpp:38-41, macro ndtcell.h:13-15)
     old_sum = _take_slot(state.slot_sum, state.slot_idx)
@@ -358,6 +381,40 @@ def build_touched(
     safe = jnp.where(sentinel, 0, ids)
     sidx = jnp.where(sentinel, cfg.num_cells, ids)
     slot = state.slot_idx[safe]
+
+    extra = {}
+    if cfg.ring_rows > 0:
+        # Sparse ring: assign rows to first-build cells.  One O(C)
+        # elementwise pass (mark/cumsum over the int32 [C] indirection —
+        # ~1.4 MB at deployment scale) replaces any O(C·S) ring traffic.
+        r_cap = cfg.ring_rows
+        mark = (
+            jnp.zeros((cfg.num_cells + 1,), bool)
+            .at[sidx].set(True, mode="promise_in_bounds")[: cfg.num_cells]
+        )
+        newmask = mark & (state.ring_map < 0)
+        order = jnp.cumsum(newmask.astype(jnp.int32))
+        assigned = state.ring_used + order - 1
+        ok = newmask & (assigned < r_cap)
+        ring_map = jnp.where(ok, assigned, state.ring_map)
+        n_new = jnp.sum(ok.astype(jnp.int32))
+        rrow = ring_map[safe]  # [N]; -1 = overflow, never builds
+        has_row = rrow >= 0
+        # Overflow cells are excluded from EVERY write (their window
+        # arithmetic never starts); ring writes address [R] rows directly.
+        sidx = jnp.where(has_row, sidx, cfg.num_cells)
+        ring_idx = jnp.where(has_row & ~sentinel, rrow, r_cap)
+        ring_safe = jnp.where(has_row, rrow, 0)
+        extra = dict(
+            ring_map=ring_map,
+            ring_used=state.ring_used + n_new,
+            ring_overflow=state.ring_overflow
+            + jnp.sum((newmask & ~ok).astype(jnp.int32)),
+        )
+    else:
+        ring_idx = sidx
+        ring_safe = safe
+
     rows = _CellRows(
         mean_c=state.mean_c[safe],
         inv_cov=state.inv_cov[safe],
@@ -365,9 +422,9 @@ def build_touched(
         g_sum=state.g_sum[safe],
         g_count=state.g_count[safe],
         g_cov=state.g_cov[safe],
-        old_sum=state.slot_sum[safe, slot],
-        old_count=state.slot_count[safe, slot],
-        old_cov=state.slot_cov[safe, slot],
+        old_sum=state.slot_sum[ring_safe, slot],
+        old_count=state.slot_count[ring_safe, slot],
+        old_cov=state.slot_cov[ring_safe, slot],
         slot_idx=slot,
         rot_count=state.rot_count[safe],
         cur_sum=state.cur_sum[safe],
@@ -384,14 +441,15 @@ def build_touched(
         g_cov=state.g_cov.at[sidx].set(new.g_cov, mode="drop"),
         # The slot write targets the PRE-rotation slot (matching the dense
         # pass, which puts before advancing the ring).
-        slot_sum=state.slot_sum.at[sidx, slot].set(new.old_sum, mode="drop"),
-        slot_count=state.slot_count.at[sidx, slot].set(new.old_count, mode="drop"),
-        slot_cov=state.slot_cov.at[sidx, slot].set(new.old_cov, mode="drop"),
+        slot_sum=state.slot_sum.at[ring_idx, slot].set(new.old_sum, mode="drop"),
+        slot_count=state.slot_count.at[ring_idx, slot].set(new.old_count, mode="drop"),
+        slot_cov=state.slot_cov.at[ring_idx, slot].set(new.old_cov, mode="drop"),
         slot_idx=state.slot_idx.at[sidx].set(new.slot_idx, mode="drop"),
         rot_count=state.rot_count.at[sidx].set(new.rot_count, mode="drop"),
         cur_sum=state.cur_sum.at[sidx].set(new.cur_sum, mode="drop"),
         cur_count=state.cur_count.at[sidx].set(new.cur_count, mode="drop"),
         cur_m2=state.cur_m2.at[sidx].set(new.cur_m2, mode="drop"),
+        **extra,
     )
 
 
@@ -436,4 +494,6 @@ def reset(state: NdtMapState) -> NdtMapState:
     is never exercised by the node (`ndtpso_slam_node.cpp:227-230` reallocates
     instead).  We diverge deliberately: reset means a fresh map.
     """
-    return jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state)
+    zeroed = jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), state)
+    # Sparse indirection resets to UNASSIGNED (-1), not row 0.
+    return zeroed.replace(ring_map=jnp.full_like(state.ring_map, -1))

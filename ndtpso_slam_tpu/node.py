@@ -76,12 +76,18 @@ class NodeConfig:
     # the dynamic-slice pipeline costs more than the 216 MB full-table roll
     # it saves.  Keep 0 unless HBM-constrained.
     patch_range_m: float = 0.0
+    # Sparse sliding-window storage (MapConfig.ring_rows): 0 = dense (one
+    # ring row per cell); R > 0 allocates R rows assigned on first build —
+    # the memory/fleet knob (ring HBM and per-step copy traffic shrink by
+    # C/R; size R to the deployment's visited-cell count).
+    ring_rows: int = 0
 
     def slam_config(self) -> cfgm.SlamConfig:
         map_cfg = cfgm.MapConfig(
             size_m=self.frame_size_m,
             cell_side_m=self.cell_side_m,
             window_slots=self.window_slots,
+            ring_rows=self.ring_rows,
         )
         if self.patch_range_m > 0:
             map_cfg = dataclasses.replace(

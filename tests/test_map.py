@@ -199,3 +199,140 @@ def test_sparse_build_touched_matches_dense():
             )
     # rotations must actually have happened for this to prove anything
     assert int(np.asarray(dense.slot_idx).max()) > 0
+
+
+def _touched_rounds(cfg, n_rounds=12, seed=7):
+    """Shared ingest->build_touched driver; returns the final state."""
+    from ndtpso_slam_tpu.ops.geometry import cell_index
+
+    rs = np.random.RandomState(seed)
+    state = ndt_map.init_map(cfg)
+    prev_ids = np.full(40, cfg.num_cells, np.int32)
+    for _ in range(n_rounds):
+        centers = rs.uniform(-6, 6, (3, 2))
+        pts = (
+            centers[rs.randint(0, 3, 40)] + rs.normal(0, 0.3, (40, 2))
+        ).astype(np.float32)
+        pts[:4] += 40.0
+        valid = rs.rand(40) > 0.15
+        idx, inb = cell_index(
+            pts, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m,
+            cells_per_side=cfg.cells_per_side,
+        )
+        ids = np.where(np.asarray(valid & np.asarray(inb)), np.asarray(idx),
+                       cfg.num_cells).astype(np.int32)
+        state = ndt_map.build_touched(
+            ndt_map.add_points(state, cfg, pts, valid), cfg,
+            np.concatenate([ids, prev_ids]),
+        )
+        prev_ids = ids
+    return state
+
+
+def test_sparse_ring_matches_dense_ring():
+    """MapConfig.ring_rows > 0 stores window state in R assigned rows; the
+    per-cell stats and every cell's ring contents must be bit-identical to
+    the dense layout (ring rows compared through the indirection)."""
+    import dataclasses
+
+    scfg = dataclasses.replace(CFG, ring_rows=160)  # > cells this workload touches
+    dense = _touched_rounds(CFG)
+    sparse = _touched_rounds(scfg)
+    for name in ("mean_c", "inv_cov", "built", "g_sum", "g_count", "g_cov",
+                 "slot_idx", "rot_count", "cur_sum", "cur_count", "cur_m2"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dense, name)), np.asarray(getattr(sparse, name)),
+            err_msg=f"{name} diverged",
+        )
+    rmap = np.asarray(sparse.ring_map)
+    used = int(sparse.ring_used)
+    assert int(sparse.ring_overflow) == 0
+    assert used == (rmap >= 0).sum() > 0
+    # Every cell that owns window state in the dense layout has a ring row
+    # whose contents match.
+    touched = np.asarray(dense.slot_count).sum(axis=1) > 0
+    assert (rmap[touched] >= 0).all()
+    for arr in ("slot_sum", "slot_count", "slot_cov"):
+        d = np.asarray(getattr(dense, arr))
+        s = np.asarray(getattr(sparse, arr))
+        np.testing.assert_array_equal(
+            d[touched], s[rmap[touched]], err_msg=f"{arr} ring rows diverged"
+        )
+
+
+def test_sparse_ring_overflow_is_graceful_and_observable():
+    """With fewer rows than touched cells, overflowed cells never build
+    (no corruption of assigned cells) and the overflow counter reports it."""
+    import dataclasses
+
+    scfg = dataclasses.replace(CFG, ring_rows=2)  # far too small on purpose
+    dense = _touched_rounds(CFG)
+    sparse = _touched_rounds(scfg)
+    assert int(sparse.ring_overflow) > 0
+    assert int(sparse.ring_used) == 2
+    rmap = np.asarray(sparse.ring_map)
+    has_row = rmap >= 0
+    # Assigned cells bit-match the dense result...
+    for name in ("mean_c", "g_sum", "g_count", "slot_idx"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dense, name))[has_row],
+            np.asarray(getattr(sparse, name))[has_row],
+            err_msg=f"{name} diverged on assigned cells",
+        )
+    # ...and overflowed-but-touched cells never build.
+    overflow_cells = (~has_row) & (np.asarray(dense.slot_count).sum(1) > 0)
+    assert overflow_cells.any()
+    assert not np.asarray(sparse.built)[overflow_cells].any()
+
+
+def test_sparse_ring_slam_trajectory_matches_dense():
+    """A whole SLAM session on a sparse-ring map reproduces the dense-map
+    trajectory bitwise (slam_step only ever builds through build_touched)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ndtpso_slam_tpu import config as cfgm
+    from ndtpso_slam_tpu.io import synthetic
+    from ndtpso_slam_tpu.models import scan as scan_mod, slam
+
+    base_map = cfgm.MapConfig(size_m=48.0, cell_side_m=1.0, window_slots=4)
+    lg = synthetic.make_log(seed=5, n_scans=8, n_beams=120, world_size=40.0)
+    poses = {}
+    for name, mc in (
+        ("dense", base_map),
+        ("sparse", dataclasses.replace(base_map, ring_rows=512)),
+    ):
+        cfg = cfgm.SlamConfig(
+            pso=cfgm.PSOConfig(iterations=8, population=40),
+            map=mc,
+            scan=cfgm.ScanConfig(max_beams=128),
+            cost_mode="fast",
+        )
+        loaded = [
+            scan_mod.load_laser(r, lg.angle_min, lg.angle_increment,
+                                lg.range_max, cfg.scan, cfg.map)
+            for r in lg.ranges
+        ]
+        scans = scan_mod.Scan(
+            points=jnp.stack([s.points for s in loaded]),
+            valid=jnp.stack([s.valid for s in loaded]),
+        )
+        st = slam.init_slam(cfg, initial_pose=tuple(lg.poses[0]))
+        st, p, _ = slam.run_offline(st, scans, (np.uint32(3), np.uint32(9)), cfg)
+        poses[name] = np.asarray(p)
+        if name == "sparse":
+            assert int(st.map.ring_overflow) == 0
+            assert 0 < int(st.map.ring_used) <= 512
+    np.testing.assert_array_equal(poses["dense"], poses["sparse"])
+
+
+def test_dense_build_rejects_sparse_config():
+    import dataclasses
+
+    import pytest
+
+    scfg = dataclasses.replace(CFG, ring_rows=8)
+    state = ndt_map.init_map(scfg)
+    with pytest.raises(ValueError, match="build_touched"):
+        ndt_map.build(state, scfg)
