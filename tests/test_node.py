@@ -95,6 +95,82 @@ def test_checkpoint_resume_exact(log, tmp_path):
     )
 
 
+def test_checkpoint_resume_exact_sparse_ring(log, tmp_path):
+    """Resume must be exact for sparse-ring maps too: ring_map/ring_used are
+    load-bearing state (the cell->row indirection), so a checkpoint that
+    dropped or re-initialized them would silently rebuild into wrong rows."""
+    cfg = NodeConfig(**SMALL, init_pose=tuple(log.poses[0]), ring_rows=512)
+    full = SlamNode(cfg, verbose=False)
+    poses_full = full.run_log(log)
+
+    half = SlamNode(cfg, verbose=False)
+    for i in range(6):
+        half.process_scan(
+            log.ranges[i], log.angle_min, log.angle_increment, log.range_max,
+            timestamp=float(log.timestamps[i]),
+        )
+    ckpt = str(tmp_path / "mid_ring.npz")
+    half.save_checkpoint(ckpt)
+
+    resumed = SlamNode(cfg, verbose=False)
+    resumed.load_checkpoint(ckpt)
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(half.state),
+        jax.tree_util.tree_leaves(resumed.state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    poses_resumed = [
+        resumed.process_scan(
+            log.ranges[i], log.angle_min, log.angle_increment, log.range_max,
+            timestamp=float(log.timestamps[i]),
+        )
+        for i in range(6, 12)
+    ]
+    np.testing.assert_allclose(
+        np.array(poses_resumed), poses_full[6:], atol=1e-6,
+        err_msg="sparse-ring resume must continue the exact trajectory",
+    )
+
+
+def test_checkpoint_partial_restore_migration(tmp_path):
+    """allow_partial=True loads an older build's checkpoint whose pytree
+    lacked fields the current state has; missing leaves keep init values.
+    Extra saved leaves are always rejected."""
+    from ndtpso_slam_tpu.utils import checkpoint
+
+    ckpt = str(tmp_path / "old.npz")
+    old = {"x": np.arange(6.0).reshape(3, 2), "y": np.ones((4,))}
+    checkpoint.save(ckpt, old)
+    new_like = {"x": np.zeros((3, 2)), "y": np.zeros((4,)), "extra": np.full((2,), 7.0)}
+    with pytest.raises(ValueError, match="structure"):
+        checkpoint.restore(ckpt, new_like)
+    out = checkpoint.restore(ckpt, new_like, allow_partial=True)
+    np.testing.assert_array_equal(out["x"], old["x"])
+    np.testing.assert_array_equal(out["extra"], new_like["extra"])
+    # A checkpoint with MORE leaves than the state must fail even partial.
+    with pytest.raises(ValueError, match="structure"):
+        checkpoint.restore(str(tmp_path / "old.npz"), {"x": np.zeros((3, 2))},
+                          allow_partial=True)
+
+
+def test_checkpoint_v1_fallback(tmp_path):
+    """leaf_NNNN-indexed v1 checkpoints still load (count+shape validated)."""
+    from ndtpso_slam_tpu.utils import checkpoint
+
+    ckpt = str(tmp_path / "v1.npz")
+    a = {"x": np.arange(6.0).reshape(3, 2), "y": np.ones((4,))}
+    leaves = [a["x"], a["y"]]  # dict flatten order: sorted keys
+    np.savez_compressed(
+        ckpt, **{f"leaf_{i:04d}": l for i, l in enumerate(leaves)}
+    )
+    out = checkpoint.restore(ckpt, {"x": np.zeros((3, 2)), "y": np.zeros((4,))})
+    np.testing.assert_array_equal(out["x"], a["x"])
+    with pytest.raises(ValueError, match="leaves"):
+        checkpoint.restore(ckpt, {"x": np.zeros((3, 2))})
+
+
 def test_checkpoint_shape_mismatch_rejected(log, tmp_path):
     cfg = NodeConfig(**SMALL)
     node = SlamNode(cfg, verbose=False)
