@@ -92,9 +92,13 @@ class MapConfig:
     # (experiments/batched_scatter_ab.py), so ring bytes are the fleet's
     # throughput AND memory ceiling.  With ring_rows = R > 0, ring arrays
     # are [R, S, ...] plus a [C] cell->row indirection assigned on first
-    # build; cells beyond R map to a scratch row and never build (size R to
-    # the deployment's visited-cell count — overflow is observable via
-    # `ring_overflowed`).  Only the `build_touched` path supports R > 0.
+    # build; once R rows are exhausted every NEWLY visited cell permanently
+    # never builds (scores as out-of-map 0), so size R to the deployment's
+    # visited-cell count.  Overflow is observable via the state's
+    # `ring_overflow` counter (the number of DISTINCT cells that could not
+    # get a row — use it directly to size R: R + ring_overflow rows would
+    # have sufficed); `SlamNode` warns at runtime when it goes positive.
+    # Only the `build_touched` path supports R > 0.
     ring_rows: int = 0
 
     @property
@@ -202,6 +206,13 @@ class SlamConfig:
     # [_turbo]' = whole-solve Pallas kernel (population and padded beam count
     # must be multiples of 128).  See models/slam.py:SLAM_COST_MODES.
     cost_mode: str = "exact"
+    # 'pso' = the reference's deployed optimizer (`pso_optimization`,
+    # core.cpp:50-116); 'glir' = the GLIR-PSO alternative the reference
+    # carries as API surface (`core.h:21-23`, untested upstream —
+    # models/pso.py:glir_pso_solve documents the divergences).  GLIR runs
+    # through the XLA cost modes only (the rollout kernel implements the
+    # deployed PSO update rule).
+    optimizer: str = "pso"
     dtype: object = jnp.float32
 
 

@@ -78,9 +78,11 @@ class NdtMapState(struct.PyTreeNode):
     slot_count: jnp.ndarray  # [C|R, S] int32
     slot_cov: jnp.ndarray  # [C|R, S, 3]
     slot_idx: jnp.ndarray  # [C] int32 current window slot
-    # Sparse-mode indirection: cell -> ring row (-1 unassigned); shape [0]
-    # in dense mode.  ring_used counts assigned rows; ring_overflow counts
-    # first-build attempts that found no free row (those cells never build).
+    # Sparse-mode indirection: cell -> ring row (-1 never seen, -2
+    # permanently overflowed); shape [0] in dense mode.  ring_used counts
+    # assigned rows; ring_overflow counts DISTINCT cells whose first build
+    # found no free row (those cells never build) — R + ring_overflow rows
+    # would have sufficed for the run.
     ring_map: jnp.ndarray  # [C] int32 (sparse) | [0] (dense)
     ring_used: jnp.ndarray  # [] int32
     ring_overflow: jnp.ndarray  # [] int32
@@ -392,11 +394,16 @@ def build_touched(
             jnp.zeros((cfg.num_cells + 1,), bool)
             .at[sidx].set(True, mode="promise_in_bounds")[: cfg.num_cells]
         )
-        newmask = mark & (state.ring_map < 0)
+        # -1 = never seen; -2 = permanently overflowed (marked below so each
+        # dropped cell counts ONCE — ring_overflow is then the number of
+        # distinct cells R was short by, directly usable for sizing R).
+        newmask = mark & (state.ring_map == -1)
         order = jnp.cumsum(newmask.astype(jnp.int32))
         assigned = state.ring_used + order - 1
         ok = newmask & (assigned < r_cap)
-        ring_map = jnp.where(ok, assigned, state.ring_map)
+        ring_map = jnp.where(
+            ok, assigned, jnp.where(newmask, -2, state.ring_map)
+        )
         n_new = jnp.sum(ok.astype(jnp.int32))
         rrow = ring_map[safe]  # [N]; -1 = overflow, never builds
         has_row = rrow >= 0

@@ -148,19 +148,32 @@ def glir_pso_solve(
     adapted from the gbest/pbest cost ratios, ratio-weighted attractors,
     `core.cpp:146-153`) with the running average taken over *iterations*, and
     the same synchronous batched update rule as :func:`pso_solve`.
+
+    One more documented divergence: the swarm runs in GUESS-RELATIVE
+    coordinates.  The upstream per-dimension ratio attractor
+    (`ratio·pbest`, `core.cpp:150-152`) is gauge-dependent — in world
+    coordinates its multiplicative noise scales with |pose|, so a robot
+    15 m from the origin gets metre-scale attractor bias and the SLAM loop
+    measurably diverges (~5 m by scan 2 on the session fixture); evaluated
+    relative to the guess (the solve's natural gauge, identical when
+    guess = 0) the same heuristic tracks.  Draw streams and the update
+    rule are unchanged.
     """
     dtype = guess.dtype
     p = cfg.population
     zero_dev = jnp.asarray(ZERO_DEVIATION, dtype)
+    shift = guess
+    rel_cost = lambda poses, bind: cost_fn(poses + shift, bind + shift)
+    zero3 = jnp.zeros_like(guess)
 
     g_ctr, p_ctr = rng.pso_init_pairs(p)
     u_g, _ = rng.uniform_pairs(key, g_ctr, dtype)
-    g_pos = guess + (2.0 * u_g - 1.0) * zero_dev
-    g_cost = cost_fn(g_pos[None, :], guess)[0]
+    g_pos = (2.0 * u_g - 1.0) * zero_dev
+    g_cost = rel_cost(g_pos[None, :], zero3)[0]
 
     u_p, _ = rng.uniform_pairs(key, p_ctr, dtype)
-    pos = guess + (2.0 * u_p - 1.0) * jnp.asarray(deviation, dtype)
-    cost = cost_fn(pos, guess)
+    pos = (2.0 * u_p - 1.0) * jnp.asarray(deviation, dtype)
+    cost = rel_cost(pos, zero3)
     bc, bp = _select_min(cost, pos)
     improved = bc < g_cost
     gbest = jnp.where(improved, bp, g_pos)
@@ -187,7 +200,7 @@ def glir_pso_solve(
             + cc[:, None] * r2 * (inv_ratio * gbest - pos)
         )
         pos = pos + vel
-        cost = cost_fn(pos, gbest)
+        cost = rel_cost(pos, gbest)
         better = cost < pbest_cost
         pbest = jnp.where(better[:, None], pos, pbest)
         pbest_cost = jnp.where(better, cost, pbest_cost)
@@ -200,7 +213,7 @@ def glir_pso_solve(
 
     init = (pos, jnp.zeros_like(pos), pos, cost, cost, gbest, gbest_cost)
     *_, gbest, gbest_cost = jax.lax.fori_loop(0, cfg.iterations, body, init)
-    return PsoResult(pose=gbest, cost=gbest_cost)
+    return PsoResult(pose=gbest + shift, cost=gbest_cost)
 
 
 def pso_solve_batch(

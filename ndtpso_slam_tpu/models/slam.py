@@ -175,9 +175,22 @@ def align(
     adaptive = jnp.abs(astate.pose_diff * jnp.asarray(cfg.deviation_scale, dtype))
     deviation = jnp.where(astate.iter < 2, first_dev, adaptive)
     if cfg.cost_mode.startswith("rollout"):
+        if cfg.optimizer != "pso":
+            raise ValueError(
+                "rollout cost modes implement the deployed PSO update rule "
+                f"only; optimizer={cfg.optimizer!r} needs an XLA cost mode"
+            )
         result = _align_rollout(key, guess, deviation, snap, scan, cfg)
     else:
-        result = pso_solve(
+        if cfg.optimizer == "pso":
+            solver = pso_solve
+        elif cfg.optimizer == "glir":
+            from ndtpso_slam_tpu.models.pso import glir_pso_solve as solver
+        else:
+            raise ValueError(
+                f"unknown optimizer {cfg.optimizer!r}; expected 'pso' | 'glir'"
+            )
+        result = solver(
             key, guess, deviation, make_cost_fn(snap, scan, cfg, guess), cfg.pso
         )
     if cfg.cost_mode != "exact":

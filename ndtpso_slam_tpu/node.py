@@ -59,6 +59,9 @@ class NodeConfig:
     # lose tracking at the default 0.5 m cell side (see models/cost.py:
     # stencil_exact_cost); they remain available for coarser maps.
     cost_mode: str = "local_exact"
+    # 'pso' (deployed) | 'glir' (the reference's GLIR-PSO API surface,
+    # core.h:21-23; XLA cost modes only — see SlamConfig.optimizer).
+    optimizer: str = "pso"
     seed: int = 42
     save_every: int = 10  # SAVE_DATA_TO_FILE_EACH_NUM_ITERS
     save_map_images: bool = False
@@ -114,6 +117,7 @@ class NodeConfig:
                 k_hypotheses=self.recovery_hypotheses,
             ),
             cost_mode=self.cost_mode,
+            optimizer=self.optimizer,
         )
 
     @staticmethod
@@ -149,6 +153,7 @@ class SlamNode:
             else None
         )
         self._step = 0
+        self._warned_ring_overflow = False
 
     def on_pose(self, callback: Callable) -> None:
         """Register a pose 'publisher' (timestamp, pose[3]) -> None."""
@@ -193,6 +198,24 @@ class SlamNode:
             self._step += 1
         for cb in self.pose_callbacks:
             cb(timestamp, pose_np)
+        if (
+            self.cfg.ring_rows > 0
+            and not self._warned_ring_overflow
+            and int(self.state.map.ring_overflow) > 0
+        ):
+            # Undersized R silently stops NEW cells from ever building
+            # (they score as out-of-map) — make it loud the moment it
+            # starts, not just in tests.  One warning per session; the
+            # shutdown report carries the final count.
+            self._warned_ring_overflow = True
+            print(
+                f"[ndtpso] WARNING: sparse ring overflow — "
+                f"{int(self.state.map.ring_overflow)} distinct cell(s) got no "
+                f"ring row (ring_rows={self.cfg.ring_rows} exhausted; newly "
+                "visited cells will not build). Increase NodeConfig.ring_rows "
+                "by at least the reported count.",
+                file=sys.stderr,
+            )
         if self.verbose and self._step > 1:
             extra = ""
             if self.slam_cfg.recovery.enabled:
@@ -226,6 +249,16 @@ class SlamNode:
         """Export the map bundle (`ndtpso_slam_node.cpp:131-174`)."""
         if basename is None:
             basename = "ndtpso-" + time.strftime("%Y%m%d-%H%M%S")
+        if self.cfg.ring_rows > 0:
+            overflow = int(self.state.map.ring_overflow)
+            if overflow > 0:
+                print(
+                    f"[ndtpso] ring overflow at shutdown: {overflow} distinct "
+                    f"cell(s) never built (ring_rows={self.cfg.ring_rows} too "
+                    f"small — {self.cfg.ring_rows + overflow} rows would have "
+                    "sufficed)",
+                    file=sys.stderr,
+                )
         og = None
         og_bbox = None
         if self.state.og is not None:
@@ -452,6 +485,11 @@ def main(argv=None):
         help="exact | fast | fast_local | local_exact | rollout* (rollout "
         "modes need --max-beams as a multiple of 128; any population works)",
     )
+    ap.add_argument(
+        "--optimizer", choices=["pso", "glir"], default=None,
+        help="pso (deployed, core.cpp:50-116) | glir (GLIR-PSO variant, "
+        "core.h:21-23; XLA cost modes only)",
+    )
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--population", type=int, default=None)
     ap.add_argument("--frame-size", type=float, default=None)
@@ -470,6 +508,7 @@ def main(argv=None):
 
     overrides = dict(
         cost_mode=args.cost_mode,
+        optimizer=args.optimizer,
         pso_iterations=args.iterations,
         pso_population=args.population,
         frame_size_m=args.frame_size,

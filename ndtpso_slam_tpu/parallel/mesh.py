@@ -70,7 +70,8 @@ COST_MODES = frozenset(
 )
 
 
-def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cost_mode):
+def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg,
+               cost_mode, optimizer="pso"):
     if cost_mode == "fast":
         cost_fn = lambda poses, bind: cost_mod.bound_cost(
             poses, cost_mod.bind_points(bind, snap, points, valid, map_cfg)
@@ -100,16 +101,29 @@ def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg, cos
         cost_fn = lambda poses, bind: cost_mod.ndt_cost(
             poses, snap, points, valid, map_cfg
         )
+    if optimizer == "glir":
+        from ndtpso_slam_tpu.models.pso import glir_pso_solve
+
+        return glir_pso_solve((key[0], key[1]), guess, deviation, cost_fn, pso_cfg)
     return pso_solve((key[0], key[1]), guess, deviation, cost_fn, pso_cfg)
 
 
 def _solve_batch_impl(
     keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg,
-    cost_mode, shared_map=False,
+    cost_mode, shared_map=False, optimizer="pso",
 ):
     if cost_mode not in COST_MODES:
         raise ValueError(
             f"unknown cost_mode {cost_mode!r}; expected one of {sorted(COST_MODES)}"
+        )
+    if optimizer not in ("pso", "glir"):
+        raise ValueError(f"unknown optimizer {optimizer!r}; expected 'pso' | 'glir'")
+    if optimizer == "glir" and (
+        cost_mode.startswith("rollout") or cost_mode.endswith("_fused")
+    ):
+        raise ValueError(
+            "optimizer='glir' runs through the per-solve XLA cost modes only "
+            "(the rollout/fused kernels implement the deployed PSO update rule)"
         )
     snap_ax = None if shared_map else 0
     if cost_mode.startswith("rollout"):
@@ -165,13 +179,13 @@ def _solve_batch_impl(
         return pso_solve_batch(keys, guesses, deviations, batched_cost, pso_cfg)
     return jax.vmap(
         lambda k, g, d, s, p, v: _solve_one(
-            k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode
+            k, g, d, s, p, v, map_cfg, pso_cfg, cost_mode, optimizer
         ),
         in_axes=(0, 0, 0, snap_ax, 0, 0),
     )(keys, guesses, deviations, snaps, points, valid)
 
 
-@partial(jax.jit, static_argnames=("map_cfg", "pso_cfg", "cost_mode"))
+@partial(jax.jit, static_argnames=("map_cfg", "pso_cfg", "cost_mode", "optimizer"))
 def solve_batch(
     keys: jnp.ndarray,  # [B, 2] uint32
     guesses: jnp.ndarray,  # [B, 3]
@@ -182,14 +196,17 @@ def solve_batch(
     map_cfg: MapConfig,
     pso_cfg: PSOConfig,
     cost_mode: str = "fast",
+    optimizer: str = "pso",
 ):
     """B independent scan-match solves, vmapped (BASELINE config 2).
 
     ``cost_mode='fast_fused'`` routes scoring through the fused Pallas kernel
     (one grid over solves x particle tiles, z in VMEM) — the headline path.
+    ``optimizer='glir'`` swaps in the GLIR-PSO update rule (core.h:21-23).
     """
     return _solve_batch_impl(
-        keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg, cost_mode
+        keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg,
+        cost_mode, optimizer=optimizer,
     )
 
 

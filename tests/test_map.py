@@ -265,6 +265,8 @@ def test_sparse_ring_overflow_is_graceful_and_observable():
     (no corruption of assigned cells) and the overflow counter reports it."""
     import dataclasses
 
+    import jax.numpy as jnp
+
     scfg = dataclasses.replace(CFG, ring_rows=2)  # far too small on purpose
     dense = _touched_rounds(CFG)
     sparse = _touched_rounds(scfg)
@@ -283,6 +285,16 @@ def test_sparse_ring_overflow_is_graceful_and_observable():
     overflow_cells = (~has_row) & (np.asarray(dense.slot_count).sum(1) > 0)
     assert overflow_cells.any()
     assert not np.asarray(sparse.built)[overflow_cells].any()
+    # The counter counts DISTINCT dropped cells (each marked -2 exactly
+    # once), not per-scan attempts — so it directly sizes R: rebuilding the
+    # same touched set again must not grow it.
+    assert int(sparse.ring_overflow) == int((rmap == -2).sum())
+    again = ndt_map.build_touched(
+        sparse, scfg, jnp.arange(scfg.num_cells, dtype=jnp.int32)[
+            np.asarray(dense.slot_count).sum(1) > 0
+        ]
+    )
+    assert int(again.ring_overflow) == int(sparse.ring_overflow)
 
 
 def test_sparse_ring_slam_trajectory_matches_dense():
