@@ -557,7 +557,18 @@ def bench_recovery(args):
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
-    map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
+    if args.full_scale:
+        # Reference deployment scale (`scan.launch:14`, `config.h:8`):
+        # 300 m frame, 0.5 m cells = 360k cells, window 100.  The stage-2/3
+        # binder reads a recovery.patch_cells window here
+        # (cost.py:bind_points_matmul_window) — the full-table one-hot
+        # matmul would be 553 MB/rebind at this C (ADVICE r3 medium #1).
+        map_cfg = cfgm.MapConfig(
+            size_m=300.0, cell_side_m=0.5,
+            window_slots=args.window_slots or 100,
+        )
+    else:
+        map_cfg = cfgm.MapConfig(size_m=64.0, cell_side_m=0.5, window_slots=8)
     base = cfgm.SlamConfig(
         pso=cfgm.PSOConfig(iterations=30, population=max(args.particles, 50)),
         map=map_cfg,
@@ -581,13 +592,25 @@ def bench_recovery(args):
         # slam).
         st = slam.init_slam(cfg_rec, initial_pose=tuple(lg.poses[0]))
         m = st.map
+        # build_touched prebuild (bit-identical to the dense build under the
+        # build-after-every-ingest invariant, tests/test_map.py) — the dense
+        # [C, S] pass is infeasible at --full-scale (360k x 100 slots).
+        from ndtpso_slam_tpu.ops.geometry import cell_index
+        prev_ids = jnp.full((args.pad_beams,), map_cfg.num_cells, jnp.int32)
         for s, pose in zip(loaded[:30], lg.poses[:30]):
             wpts = transform_points(s.points, jnp.asarray(pose, jnp.float32))
+            idx, inb = cell_index(
+                wpts, size_m=map_cfg.size_m, cell_side_m=map_cfg.cell_side_m,
+                cells_per_side=map_cfg.cells_per_side,
+            )
+            ids = jnp.where(s.valid & inb, idx, map_cfg.num_cells)
             m = ndt_map.add_points(m, map_cfg, wpts, s.valid)
-            m = ndt_map.build(m, map_cfg)
+            m = ndt_map.build_touched(m, map_cfg, jnp.concatenate([ids, prev_ids]))
+            prev_ids = ids
         prev_pose = jnp.asarray(lg.poses[29], jnp.float32)
         st = st.replace(
             map=m,
+            prev_ids=prev_ids,
             pose=prev_pose,
             align=slam.AlignState(
                 prev_pose=prev_pose,
@@ -669,6 +692,7 @@ def bench_recovery(args):
             f"recovery_events_per_s_grid{cfg_rec.recovery.grid[0]}x"
             f"{cfg_rec.recovery.grid[1]}x{cfg_rec.recovery.grid[2]}_"
             f"k{cfg_rec.recovery.k_hypotheses}"
+            + ("_fullscale" if args.full_scale else "")
         ),
         "value": round(events_per_s, 2),
         "unit": "events/s",

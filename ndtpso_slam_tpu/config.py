@@ -181,6 +181,18 @@ class RecoveryConfig:
     # align) are refined by a multi-swarm PSO with a sub-grid-spacing radius.
     k_hypotheses: int = 8
     deviation: Tuple[float, float, float] = (0.3, 0.3, 0.3)
+    # Stage-2/3 binder window side, in cells (0 = full map table).  The
+    # refine/polish swarms bind through the one-hot MXU binder, whose work
+    # is O(N·C): fine at relocalization-map sizes, a 553 MB/rebind wall at
+    # the deployment default (360k cells).  A relocalization only looks
+    # within ``spread`` of the last trusted pose, so the binder reads a
+    # patch_cells² dynamic-slice window centred there instead
+    # (cost.py:bind_points_matmul_window — bit-identical inside the window,
+    # out-of-window points score 0).  Size it to cover
+    # 2·(spread_xy + sensor range)/cell_side; the 192-cell default spans
+    # 96 m at the 0.5 m deployment cell side (range ≤ ~44 m).  Windows
+    # at least as large as the grid fall back to the full table.
+    patch_cells: int = 192
     pso: PSOConfig = PSOConfig(iterations=20, population=128)
     exchange_every: int = 5
     # Scans with fewer valid beams than this are treated as sensor dropouts:

@@ -34,6 +34,8 @@ the cell's unnormalized Gaussian score.  Two TPU formulations live here:
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -189,6 +191,49 @@ def bind_points_matmul(
     g = jnp.dot(onehot, tbl, preferred_element_type=points.dtype)  # [N, 6]
     mean, icov = g[:, 0:2], g[:, 2:5]
     mask = ((g[:, 5] > 0.5) & inb & valid).astype(points.dtype)
+    return _quadform_bound(bind_pose, points, mean, icov, mask)
+
+
+def bind_points_matmul_window(
+    bind_pose: jnp.ndarray,
+    patch_tbl: jnp.ndarray,  # [ps*ps, 6] dynamic-sliced window of snapshot_table
+    origin: Tuple[jnp.ndarray, jnp.ndarray],  # (ox, oy) cell coords of patch corner
+    ps: int,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: MapConfig,
+) -> BoundScan:
+    """:func:`bind_points_matmul` against a ``ps × ps`` cell *window* of the
+    map instead of the full [C] table.
+
+    The one-hot MXU binder's work is O(N·C); exactly right at
+    relocalization-map sizes (≤ ~16k cells) but a 553 MB/rebind wall at the
+    reference's 360k-cell deployment default.  A relocalization only ever
+    looks near the last trusted pose (hypotheses within ``recovery.spread``,
+    beams within sensor range), so the binder's world is a window: points
+    are binned in GLOBAL grid coordinates and shifted by the window origin,
+    so selected rows are bit-identical to the full-table binder; a point
+    outside the window scores 0, the same no-information convention as
+    leaving the map (`core.cpp:38-43`).
+
+    ``patch_tbl`` comes from ``jax.lax.dynamic_slice`` of the [W, W, 6]
+    table view; ``origin`` is its (column, row) cell corner.
+    """
+    ox, oy = origin
+    q0 = transform_points(points, bind_pose)
+    ix, iy, inb = cell_coords(
+        q0, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m
+    )
+    lx = ix - ox
+    ly = iy - oy
+    in_patch = (lx >= 0) & (lx < ps) & (ly >= 0) & (ly < ps)
+    li = jnp.where(in_patch, ly * ps + lx, ps * ps)  # sentinel -> zero row
+    onehot = (
+        li[:, None] == jnp.arange(ps * ps, dtype=li.dtype)[None, :]
+    ).astype(points.dtype)  # [N, ps²] (fuses into the matmul operand)
+    g = jnp.dot(onehot, patch_tbl, preferred_element_type=points.dtype)
+    mean, icov = g[:, 0:2], g[:, 2:5]
+    mask = ((g[:, 5] > 0.5) & inb & valid & in_patch).astype(points.dtype)
     return _quadform_bound(bind_pose, points, mean, icov, mask)
 
 

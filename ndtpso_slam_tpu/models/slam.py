@@ -300,7 +300,37 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
     # matmul binding is bit-identical to the gather binding and runs on the
     # MXU.  (A stencil-exact formulation is NOT usable here: under the
     # ±π/±0.3 rad relocalization search, far points rotate metres away from
-    # any anchor-gathered stencil.)
+    # any anchor-gathered stencil.)  At deployment map sizes the binder
+    # reads a rc.patch_cells² window around the last trusted pose instead
+    # of the full [C] table — O(N·C) with C capped at the window, identical
+    # selections inside it (cost.py:bind_points_matmul_window).
+    from ndtpso_slam_tpu.ops.geometry import cell_coords
+
+    w_cells = cfg.map.cells_per_side
+    ps = rc.patch_cells if 0 < rc.patch_cells < w_cells else 0
+    if ps:
+        cx, cy, _ = cell_coords(
+            last_pose[:2], size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m
+        )
+        ox = jnp.clip(cx - ps // 2, 0, w_cells - ps)
+        oy = jnp.clip(cy - ps // 2, 0, w_cells - ps)
+
+        def window(tbl):
+            return jax.lax.dynamic_slice(
+                tbl.reshape(w_cells, w_cells, 6), (oy, ox, 0), (ps, ps, 6)
+            ).reshape(ps * ps, 6)
+
+        def make_bind_fn(tbl):
+            patch = window(tbl)
+            return lambda bind: cost_mod.bind_points_matmul_window(
+                bind, patch, (ox, oy), ps, scan.points, scan.valid, cfg.map
+            )
+    else:
+        def make_bind_fn(tbl):
+            return lambda bind: cost_mod.bind_points_matmul(
+                bind, tbl, scan.points, scan.valid, cfg.map
+            )
+
     rk = rng.threefry2x32(
         key, jnp.asarray(0x5EC0, jnp.uint32), jnp.asarray(0xFA11, jnp.uint32)
     )
@@ -311,13 +341,9 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
         ndt_map.smooth_snapshot(snap, rc.refine_sigma)
         if rc.refine_sigma > 0 else snap
     )
-    refine_tbl = cost_mod.snapshot_table(refine_snap)
+    refine_bind = make_bind_fn(cost_mod.snapshot_table(refine_snap))
     dev = jnp.asarray(rc.deviation, dtype)
-    refine_fn = lambda poses, bind: cost_mod.bound_cost(
-        poses,
-        cost_mod.bind_points_matmul(bind, refine_tbl, scan.points, scan.valid,
-                                    cfg.map),
-    )
+    refine_fn = lambda poses, bind: cost_mod.bound_cost(poses, refine_bind(bind))
     refined = jax.vmap(
         lambda kk, h: pso_solve((kk[0], kk[1]), h, dev, refine_fn, rc.pso).pose
     )(jnp.stack([k0, k1], -1), hypo)
@@ -334,12 +360,8 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
         jnp.full((k,), 0x13, jnp.uint32),
     )
     pdev = jnp.asarray((0.1, 0.1, 0.05), dtype)
-    exact_tbl = cost_mod.snapshot_table(snap)
-    polish_fn = lambda poses, bind: cost_mod.bound_cost(
-        poses,
-        cost_mod.bind_points_matmul(bind, exact_tbl, scan.points, scan.valid,
-                                    cfg.map),
-    )
+    polish_bind = make_bind_fn(cost_mod.snapshot_table(snap))
+    polish_fn = lambda poses, bind: cost_mod.bound_cost(poses, polish_bind(bind))
     polished = jax.vmap(
         lambda kk, h: pso_solve((kk[0], kk[1]), h, pdev, polish_fn, rc.pso).pose
     )(jnp.stack([p0, p1], -1), refined)

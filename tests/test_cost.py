@@ -136,6 +136,73 @@ def test_bind_points_matmul_matches_gather():
         np.testing.assert_array_equal(np.asarray(ref.w), np.asarray(got.w))
 
 
+def test_bind_points_matmul_window_matches_full_table():
+    """The windowed one-hot binder is bit-identical to the full-table one
+    for points inside the window, and masks (scores 0) points outside it —
+    the out-of-map convention (cost.py:bind_points_matmul_window)."""
+    import jax
+    import jax.numpy as jnp
+
+    state, _, scan = _build_pair(seed=5)
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    tbl = cost_mod.snapshot_table(snap)
+    w = CFG.cells_per_side  # 16
+    ps = 8
+    rs = np.random.RandomState(4)
+    for ox, oy in ((0, 0), (4, 6), (w - ps, w - ps)):
+        patch = jax.lax.dynamic_slice(
+            tbl.reshape(w, w, 6), (oy, ox, 0), (ps, ps, 6)
+        ).reshape(ps * ps, 6)
+        for _ in range(3):
+            pose = rs.uniform(-0.4, 0.4, 3).astype(np.float32)
+            full = cost_mod.bind_points_matmul(pose, tbl, scan, valid, CFG)
+            win = cost_mod.bind_points_matmul_window(
+                pose, patch, (jnp.int32(ox), jnp.int32(oy)), ps, scan, valid,
+                CFG,
+            )
+            # which points landed inside the window at this pose?
+            from ndtpso_slam_tpu.ops.geometry import cell_coords, transform_points
+
+            q0 = transform_points(jnp.asarray(scan), jnp.asarray(pose))
+            ix, iy, _ = cell_coords(
+                q0, size_m=CFG.size_m, cell_side_m=CFG.cell_side_m
+            )
+            inside = np.asarray(
+                (ix >= ox) & (ix < ox + ps) & (iy >= oy) & (iy < oy + ps)
+            )
+            assert inside.any() and not inside.all()  # both cases exercised
+            np.testing.assert_array_equal(
+                np.asarray(win.mask)[inside], np.asarray(full.mask)[inside]
+            )
+            np.testing.assert_array_equal(
+                np.asarray(win.w)[inside], np.asarray(full.w)[inside]
+            )
+            assert (np.asarray(win.mask)[~inside] == 0).all()
+            assert (np.asarray(win.w)[~inside] == 0).all()
+
+
+def test_kidnapped_robot_relocalizes_windowed():
+    """Relocalization through the stage-2/3 binder *window* (the deployment
+    path at 360k cells, ADVICE r3 medium #1) still recovers the kidnapped
+    robot: window covers spread + the mapped surroundings."""
+    import dataclasses
+
+    from test_recovery import _cfg, _kidnap_workload, _run
+
+    base = _cfg(recovery_on=True)
+    cfg = dataclasses.replace(
+        base, recovery=dataclasses.replace(base.recovery, patch_cells=44)
+    )
+    assert 0 < cfg.recovery.patch_cells < cfg.map.cells_per_side
+    poses_true, scans = _kidnap_workload(cfg)
+    state, est = _run(cfg, poses_true, scans)
+    err = np.hypot(est[:, 0] - poses_true[:, 0], est[:, 1] - poses_true[:, 1])
+    assert int(state.recoveries) >= 1, "kidnap did not trigger recovery"
+    assert err[-2] < 0.3, f"windowed relocalization missed: {err[-2]:.3f} m"
+    assert err[-1] < 0.3, f"post-recovery tracking lost: {err[-1]:.3f} m"
+
+
 def test_patch_stencil_matches_full_roll():
     """A patch-local stencil bind (stencil_patch_cells) is bit-identical to
     the whole-grid rolled table whenever the patch covers the scan — for the
