@@ -14,7 +14,9 @@ models/pso.py): grid = (solves,); per grid step the swarm state
 matrix all live in VMEM for all iterations.  Per-iteration HBM traffic is
 ZERO — HBM sees only the per-solve inputs once and the final pose row.
 
-In-kernel pieces, all bit-matching their XLA counterparts:
+In-kernel pieces, bit-matching their XLA counterparts (for the default
+'exp' scoring of the Threefry modes; turbo modes default to exp2 scoring,
+which matches only to tolerance — see pso_rollout's exp_mode):
 
 * Threefry-2x32 (20 rounds) on uint32 vectors — the exact frozen draw
   protocol of ops/rng.py (counter = 3 + 3P + i*3P + 3j + k), so the rollout
@@ -122,7 +124,7 @@ def _rollout_kernel(
     p_pad: int,
     score_dtype=jnp.float32,
     native_rng: bool = False,
-    exp_mode: str = "exp2",
+    exp_mode: str = "exp",
 ):
     # Lane layout: p_pad = population rounded up to the 128-lane register
     # width.  Lanes >= cfg.population are INERT padding — their cost is
@@ -394,7 +396,7 @@ def pso_rollout(
     score_dtype: str = "f32",
     rng_mode: str = "threefry",
     grid_block: int | None = None,
-    exp_mode: str = "exp2",
+    exp_mode: str | None = None,
 ):
     """B independent whole-solve PSO rollouts.  Returns (pose [B,3], cost [B]).
 
@@ -419,7 +421,18 @@ def pso_rollout(
     B=128 hangs, f32 fine at any B — see
     experiments/bisect_bf16/README.md); blocks of 64 keep the bf16 MXU win
     at arbitrary batch sizes.  Per-solve work is unchanged, so overhead is
-    one kernel launch per block (~10 us) against ~25 ms/block of compute."""
+    one kernel launch per block (~10 us) against ~25 ms/block of compute.
+
+    ``exp_mode`` (None = per-rng default): 'exp' scores with jnp.exp's
+    exact twin (bit-matching the XLA cost paths) and is the default for
+    the Threefry parity modes; 'exp2' folds the 1/ln2 into the argument
+    and uses the hardware 2^x (+2.6% measured, scores equal only to ~1 ulp
+    of the extra multiply — PSO outcomes measured bit-identical at the
+    bench operating point) and is the default for the turbo modes, which
+    already trade the cross-version-stable stream away; 'approx' is the
+    Schraudolph bitcast 2^x (knob, experiments/exp_lever.py)."""
+    if exp_mode is None:
+        exp_mode = "exp2" if rng_mode == "native" else "exp"
     b, k2, _, n = sten.shape
     if grid_block is not None and b > grid_block:
         nb = -(-b // grid_block)
