@@ -83,7 +83,8 @@ def main():
         "--mode", default=None,
         choices=["fast", "fast_fused", "fast_local", "fast_local_fused",
                  "fast_matmul", "local_exact", "rollout", "rollout_bf16",
-                 "rollout_turbo", "rollout_turbo_bf16", "exact"],
+                 "rollout_turbo", "rollout_turbo_bf16", "rollout_local",
+                 "rollout_local_turbo", "exact"],
         help="default: rollout_turbo for batch, local_exact for slam "
         "(frozen-binding modes lose tracking at 0.5 m cells), fast for "
         "multiswarm",

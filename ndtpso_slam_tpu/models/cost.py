@@ -263,6 +263,14 @@ class NeighborhoodBind(struct.PyTreeNode):
     radius: int = struct.field(pytree_node=False, default=2)
 
 
+# Above this cell count the O(C) stencil-table roll loses to the direct
+# [N·K2]-row gather (row count independent of C): measured on the v5e at
+# N=384, K2=25 — roll 1.5 ms vs gather 1.9 ms at 16k cells, but 3.0-4.2 ms
+# vs 1.3-1.4 ms at 90k-360k cells (experiments/bind_gather_ab.py).  The
+# reference's deployment default is 360k cells, so its binds go direct.
+GATHER_BIND_MIN_CELLS = 32768
+
+
 def bind_neighborhood(
     anchor_pose: jnp.ndarray,
     snap: MapSnapshot,
@@ -270,10 +278,24 @@ def bind_neighborhood(
     valid: jnp.ndarray,
     cfg: MapConfig,
     radius: int = 2,
+    strategy: str = "auto",
 ) -> NeighborhoodBind:
     """Gather each point's (2r+1)² cell stencil at the anchor pose (the PSO
     initial guess).  One batched gather per solve, amortized over all
     iterations.
+
+    Three strategies, identical results (`built` and every built lane's
+    statistics are bit-equal; unbuilt lanes hold strategy-dependent finite
+    garbage that every consumer masks):
+
+    * ``'roll'`` — pre-roll the packed [C, 6] table by every stencil offset
+      and gather N wide rows: one N-row gather, but O(C) table traffic —
+      the right trade on small maps.
+    * ``'gather'`` — gather the [N, K2] neighbor rows directly (clipped at
+      the border; `in_grid` masks the clipped lanes): 25x the rows but no
+      O(C) roll — 2.2x faster at the 360k-cell deployment scale.
+    * ``'auto'`` (default) — 'gather' beyond ``GATHER_BIND_MIN_CELLS``
+      (unless a stencil patch is configured), else 'roll'.
 
     With ``cfg.stencil_patch_cells`` set (> 0), the rolled stencil table is
     built over a ``patch × patch`` `dynamic_slice` of the grid centred on
@@ -296,6 +318,28 @@ def bind_neighborhood(
     nix = ix[:, None] + jnp.asarray(di)[None, :]  # [N, K2]
     niy = iy[:, None] + jnp.asarray(dj)[None, :]
     in_grid = (nix >= 0) & (nix < w_cells) & (niy >= 0) & (niy < w_cells)
+    if strategy == "auto":
+        strategy = (
+            "gather"
+            if cfg.num_cells > GATHER_BIND_MIN_CELLS
+            and not (0 < cfg.stencil_patch_cells < w_cells)
+            else "roll"
+        )
+    if strategy == "gather":
+        tbl = snapshot_table(snap, dtype)  # [C, 6]
+        flat = jnp.clip(niy, 0, w_cells - 1) * w_cells + jnp.clip(
+            nix, 0, w_cells - 1
+        )
+        g = tbl[flat]  # [N, K2, 6]
+        return NeighborhoodBind(
+            anchor_ix=ix,
+            anchor_iy=iy,
+            mean=g[..., 0:2],
+            icov=g[..., 2:5],
+            built=(g[..., 5] > 0.5) & in_grid,
+            valid=valid,
+            radius=radius,
+        )
 
     # TPU gathers pay per ROW, so gathering [N, K2] separate 8-32 B rows is
     # ~75x more rows than necessary (profiled at ~50 ms for 64 solves).

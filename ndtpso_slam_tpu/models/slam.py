@@ -82,6 +82,7 @@ def init_slam(cfg: SlamConfig, initial_pose=(0.0, 0.0, 0.0)) -> SlamState:
 SLAM_COST_MODES = (
     "exact", "fast", "fast_local", "local_exact",
     "rollout", "rollout_bf16", "rollout_turbo", "rollout_turbo_bf16",
+    "rollout_local", "rollout_local_turbo",
 )
 
 
@@ -127,11 +128,18 @@ def make_cost_fn(
 
 
 def _align_rollout(key, guess, deviation, snap, scan, cfg: SlamConfig) -> PsoResult:
-    """One B=1 solve through the whole-rollout Pallas kernel
-    (ops/pallas_rollout.py) — the headline single-solve path, now usable by
-    the sequential SLAM loop (the workload the reference actually runs,
-    `scan.launch` at 10 Hz)."""
-    from ndtpso_slam_tpu.ops.pallas_rollout import pack_rollout_inputs, pso_rollout
+    """One B=1 solve through a whole-rollout Pallas kernel
+    (ops/pallas_rollout.py).  `rollout_local[_turbo]` uses the per-particle
+    exact-rebind kernel — the correct (and default-accurate) choice at the
+    reference's own sequential deployment (`scan.launch:10-16`, 0.5 m
+    cells), where the frozen-binding `rollout*` modes lose tracking; the
+    frozen modes remain the MXU throughput path for batch workloads."""
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_inputs,
+        pack_rollout_local_inputs,
+        pso_rollout,
+        pso_rollout_local,
+    )
 
     n = scan.points.shape[0]
     if n % 128 != 0:
@@ -145,19 +153,31 @@ def _align_rollout(key, guess, deviation, snap, scan, cfg: SlamConfig) -> PsoRes
         guess, snap, scan.points, scan.valid, cfg.map,
         radius=cost_mod.DEFAULT_STENCIL_RADIUS,
     )
-    sten, pts = pack_rollout_inputs(nbr, scan.points)
     keys = jnp.stack(
         [jnp.asarray(key[0], jnp.uint32), jnp.asarray(key[1], jnp.uint32)]
     )[None]
-    pose, c = pso_rollout(
-        keys, guess[None].astype(jnp.float32),
-        jnp.asarray(deviation, jnp.float32)[None],
-        sten[None], pts[None], cfg.pso, cfg.map,
-        radius=cost_mod.DEFAULT_STENCIL_RADIUS,
-        interpret=jax.default_backend() != "tpu",
-        score_dtype="bf16" if "bf16" in cfg.cost_mode else "f32",
-        rng_mode="native" if "turbo" in cfg.cost_mode else "threefry",
-    )
+    rng_mode = "native" if "turbo" in cfg.cost_mode else "threefry"
+    if "local" in cfg.cost_mode:
+        sten, pts = pack_rollout_local_inputs(nbr, scan.points)
+        pose, c = pso_rollout_local(
+            keys, guess[None].astype(jnp.float32),
+            jnp.asarray(deviation, jnp.float32)[None],
+            sten[None], pts[None], cfg.pso, cfg.map,
+            radius=cost_mod.DEFAULT_STENCIL_RADIUS,
+            interpret=jax.default_backend() != "tpu",
+            rng_mode=rng_mode,
+        )
+    else:
+        sten, pts = pack_rollout_inputs(nbr, scan.points)
+        pose, c = pso_rollout(
+            keys, guess[None].astype(jnp.float32),
+            jnp.asarray(deviation, jnp.float32)[None],
+            sten[None], pts[None], cfg.pso, cfg.map,
+            radius=cost_mod.DEFAULT_STENCIL_RADIUS,
+            interpret=jax.default_backend() != "tpu",
+            score_dtype="bf16" if "bf16" in cfg.cost_mode else "f32",
+            rng_mode=rng_mode,
+        )
     return PsoResult(pose=pose[0].astype(guess.dtype), cost=c[0])
 
 

@@ -508,3 +508,367 @@ def pso_rollout(
         sten,
     )
     return out[:, 0:3, 0], out[:, 3, 0]
+
+
+def _rollout_local_kernel(
+    keys_ref,  # SMEM [B, 2] uint32 (whole array; indexed by program_id)
+    guess_ref,  # SMEM [B, 3] f32
+    dev_ref,  # SMEM [B, 3] f32
+    ptsc_ref,  # VMEM [1, N, 8] f32 columns: px, py, anchor_ix, anchor_iy, valid
+    stenc_ref,  # VMEM [1, K2, N, 8] f32 cols: mx, my, la, lb, lc, pen, 0, 0
+    out_ref,  # VMEM [1, 8, 128] f32: rows x, y, theta, cost broadcast
+    *,
+    cfg: PSOConfig,
+    half: float,
+    inv_cell: float,
+    radius: int,
+    n_pts: int,
+    p_pad: int,
+    native_rng: bool = False,
+    exp_mode: str = "exp",
+):
+    """Whole-solve PSO with PER-PARTICLE exact stencil re-binning.
+
+    The flagship `_rollout_kernel` freezes correspondences at the incumbent
+    gbest each iteration — measured to lose sequential-SLAM tracking at the
+    reference's 0.5 m deployment cell side (1.24-1.46 m vs the 0.35 m gate:
+    stale quadratics extrapolated past thin cells).  This kernel instead
+    re-bins every point *per particle* per evaluation — the in-kernel twin of
+    `models/cost.py:stencil_exact_cost` (the shipped XLA `local_exact` path),
+    so its cost equals `ndt_cost` whenever points stay within ±radius cells
+    of their anchors, and the whole solve still runs in VMEM with zero
+    per-iteration HBM traffic.
+
+    Layout is transposed relative to the frozen kernel: arrays are [N, P]
+    (points on sublanes, particles on lanes), because every quantity is now
+    per-(point, particle).  The stencil table arrives offset-major
+    ([K2, N, 8], `pack_rollout_local_inputs`) and the select runs as a
+    `lax.fori_loop` over the 25 offsets whose carry is just TWO [N, P]
+    arrays (the quadratic-form accumulator and the penalty accumulator):
+    per offset, the [N, 1] stat columns broadcast across particle lanes
+    into ~14 VPU FMAs.  An earlier fully-unrolled stat-select draft kept
+    ~50 [N, P] temporaries live and blew Mosaic's scoped-vmem stack
+    (23 MB at the 16 MB default — and the demand *scaled with the cap*,
+    47 MB at 32); the loop form needs ~2 MB.  No matmul anywhere: the
+    math is elementwise per (point, particle); the MXU has no role here.
+
+    Exactness: z accumulates sel·quadform_k (adds exact zeros for
+    unselected offsets — stats are zeroed at pack time so no NaN/inf can
+    leak); the penalty accumulates separately (pen_k − BIG is exact in f32
+    for pen_k ∈ {0, BIG}) and is added once at the end, so built-cell
+    scores never round through BIG.  Unbuilt/out-of-stencil selections
+    end at z+BIG -> exp == 0 exactly, `stencil_exact_cost`'s convention.
+
+    PSO scaffolding (Threefry counters, init, synchronous gbest loop,
+    masked padding lanes) is the frozen kernel's, verbatim.
+    """
+    p_real = cfg.population
+    p = p_pad
+    side = 2 * radius + 1
+    k2 = side * side
+    f32 = jnp.float32
+
+    bi = pl.program_id(0)
+    k0 = keys_ref[bi, 0]
+    k1 = keys_ref[bi, 1]
+
+    if native_rng:
+        pltpu.prng_seed(k0, k1)
+
+        def _native_uniform_pair(shape):
+            def draw():
+                bits = pltpu.bitcast(pltpu.prng_random_bits(shape), _U32)
+                return (
+                    (bits >> _U32(8)).astype(jnp.int32).astype(jnp.float32)
+                    * jnp.float32(_U01)
+                )
+
+            return draw(), draw()
+
+    pxc = ptsc_ref[0, :, 0:1]  # [N, 1]
+    pyc = ptsc_ref[0, :, 1:2]
+    axc = ptsc_ref[0, :, 2:3].astype(jnp.int32)
+    ayc = ptsc_ref[0, :, 3:4].astype(jnp.int32)
+    vmc = ptsc_ref[0, :, 4:5]
+
+    row8p = jax.lax.broadcasted_iota(jnp.int32, (8, p), 0)
+    col8p = jax.lax.broadcasted_iota(jnp.int32, (8, p), 1)
+    ctr_base = (3 * col8p + row8p).astype(_U32)
+    if p_real == p:
+        mask_cost = lambda c: c
+    else:
+        lane_ok = col8p[0:1, :] < p_real  # [1, P]
+        mask_cost = lambda c: jnp.where(lane_ok, c, f32(_BIG))
+
+    def col3(ref):
+        r = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        return jnp.where(
+            r == 0, ref[bi, 0], jnp.where(r == 1, ref[bi, 1],
+                                          jnp.where(r == 2, ref[bi, 2],
+                                                    f32(0)))
+        ).astype(f32)
+
+    guess8 = col3(guess_ref)  # [8, 1]
+    dev8 = col3(dev_ref)
+    zd = ZERO_DEVIATION
+    zrow = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    zdev8 = jnp.where(
+        zrow == 0, f32(zd[0]), jnp.where(zrow == 1, f32(zd[1]),
+                                         jnp.where(zrow == 2, f32(zd[2]), f32(0)))
+    )
+
+    def score(pos8, _bind8):
+        """Cost [1, P] of [8, P] poses — per-particle rebind, bind unused."""
+        tx = pos8[0:1, :]  # [1, P]
+        ty = pos8[1:2, :]
+        th = pos8[2:3, :]
+        c0 = jnp.cos(th)
+        s0 = jnp.sin(th)
+        qx = pxc * c0 - pyc * s0 + tx  # [N, P]
+        qy = pxc * s0 + pyc * c0 + ty
+        inb = (qx > -half) & (qx < half) & (qy > -half) & (qy < half)
+        ix = jnp.floor((qx + half) * inv_cell).astype(jnp.int32)
+        iy = jnp.floor((qy + half) * inv_cell).astype(jnp.int32)
+        di = ix - axc
+        dj = iy - ayc
+        in_st = (jnp.abs(di) <= radius) & (jnp.abs(dj) <= radius)
+        # Out-of-stencil points get kk = -1: no offset ever matches, so the
+        # penalty keeps its BIG initializer -> score 0 (stencil_exact_cost's
+        # out-of-stencil convention) and in_st need not stay live.
+        kk = jnp.where(in_st, (dj + radius) * side + (di + radius), -1)
+
+        def sel_body(k, carry):
+            # 2-carry per-offset quadform form: measured FASTER than the
+            # 6-accumulator stat-select (621 vs 568 scans/s full-scale) —
+            # the wide loop carry costs more than the extra FMAs.
+            z, pen = carry
+            blk = stenc_ref[0, k]  # [N, 8] stat columns of offset k
+            sel = (kk == k).astype(f32)  # [N, P]
+            dx = qx - blk[:, 0:1]
+            dy = qy - blk[:, 1:2]
+            # gaussian.quadform, same operation order; NO clamp (the exact
+            # path never extrapolates a frozen quadratic — ndt_score).
+            quad = (
+                blk[:, 2:3] * dx * dx
+                + 2.0 * blk[:, 3:4] * dx * dy
+                + blk[:, 4:5] * dy * dy
+            )
+            # sel is one-hot across k: adds are exact zeros elsewhere; the
+            # penalty accumulates separately so built-cell scores never
+            # round through BIG.
+            z = z + sel * quad
+            pen = pen + sel * (blk[:, 5:6] - f32(_BIG))
+            return z, pen
+
+        z, pen = jax.lax.fori_loop(
+            0, k2, sel_body,
+            (jnp.zeros((n_pts, p), f32), jnp.full((n_pts, p), f32(_BIG))),
+            unroll=25,
+        )
+        z = z + pen
+        if exp_mode == "exp2":
+            s = jax.lax.exp2(z * f32(-0.5 / np.log(2.0)))
+        else:
+            s = jnp.exp(-0.5 * z)
+        m = inb.astype(f32) * vmc  # [N, P] · [N, 1] valid broadcast
+        return -jnp.sum(s * m, axis=0, keepdims=True)  # [1, P]
+
+    # --- init (identical scaffolding to _rollout_kernel) ---
+    if native_rng:
+        u_g, u_p = _native_uniform_pair((8, p))
+    else:
+        u_g, _ = _uniform_pairs(k0, k1, row8p.astype(_U32))
+        u_p, _ = _uniform_pairs(k0, k1, _U32(3) + ctr_base)
+    g_pos = guess8 + (2.0 * u_g - 1.0) * zdev8  # [8, P]
+    pos = guess8 + (2.0 * u_p - 1.0) * dev8  # [8, P]
+    gmix = jnp.where(col8p == 0, g_pos, pos)
+    cost = mask_cost(score(pos, guess8))  # [1, P]
+    cmix = score(gmix, guess8)
+    oh0 = (jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) == 0).astype(f32)
+    g_cost = jnp.sum(cmix * oh0, axis=1, keepdims=True)  # [1, 1]
+    g_pos1 = jnp.sum(gmix * oh0, axis=1, keepdims=True)  # [8, 1]
+    bc, bp = _select_min(cost, pos)
+    imp = bc < g_cost
+    gbest = jnp.where(imp, bp, g_pos1)
+    gcost = jnp.where(imp, bc, g_cost)
+
+    c1 = f32(cfg.c1)
+    c2 = f32(cfg.c2)
+    iter_base = _U32(3 + 3 * p_real)
+    iter_stride = _U32(3 * p_real)
+
+    def body(i, carry):
+        pos, vel, pbest, pbest_cost, gbest, gcost, w = carry
+        if native_rng:
+            r1, r2 = _native_uniform_pair((8, p))
+        else:
+            ctr = iter_base + i.astype(_U32) * iter_stride + ctr_base
+            r1, r2 = _uniform_pairs(k0, k1, ctr)
+        vel = w * vel + c1 * r1 * (pbest - pos) + c2 * r2 * (gbest - pos)
+        pos = pos + vel
+        cost = mask_cost(score(pos, gbest))
+        better = cost < pbest_cost
+        pbest = jnp.where(better, pos, pbest)
+        pbest_cost = jnp.where(better, cost, pbest_cost)
+        bc, bp = _select_min(pbest_cost, pbest)
+        gimp = bc < gcost
+        gbest = jnp.where(gimp, bp, gbest)
+        gcost = jnp.where(gimp, bc, gcost)
+        return pos, vel, pbest, pbest_cost, gbest, gcost, w * f32(cfg.w_damping)
+
+    init = (pos, jnp.zeros_like(pos), pos, cost, gbest, gcost, f32(cfg.w))
+    *_, gbest, gcost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
+
+    res_row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    res8 = jnp.where(res_row < 3, gbest, gcost)
+    out_ref[0] = jnp.broadcast_to(res8, (8, 128))
+
+
+def pack_rollout_local_inputs(nbr, points):
+    """Repack a NeighborhoodBind + points into the LOCAL kernel's
+    column-oriented layouts: points [N, 8] and stencil [N, K2*6] (per
+    offset k: mx, my, la, lb, lc, pen).  Stats of unbuilt/out-of-grid
+    neighbors are ZEROED (their rolled-gather lanes hold wrapped garbage,
+    possibly inf/nan inverse covariances) and their penalty column is BIG,
+    so the kernel's additive-penalty score is exactly 0 there with no NaN
+    propagation.  Pure transposes/elementwise, run once per solve in XLA."""
+    f32 = jnp.float32
+    n = points.shape[0]
+    k2 = nbr.mean.shape[1]
+    bf = nbr.built.astype(f32)[..., None]  # [N, K2, 1]
+    sten = jnp.moveaxis(
+        jnp.concatenate(
+            [
+                nbr.mean.astype(f32) * bf,
+                nbr.icov.astype(f32) * bf,
+                (1.0 - bf) * f32(_BIG),
+                jnp.zeros((n, k2, 2), f32),
+            ],
+            axis=-1,
+        ),
+        0, 1,
+    )  # [K2, N, 8]
+    pts = jnp.stack(
+        [
+            points[:, 0].astype(f32),
+            points[:, 1].astype(f32),
+            nbr.anchor_ix.astype(f32),
+            nbr.anchor_iy.astype(f32),
+            nbr.valid.astype(f32),
+            jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),
+            jnp.zeros((n,), f32),
+        ],
+        axis=-1,
+    )  # [N, 8]
+    return sten, pts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "map_cfg", "radius", "interpret", "rng_mode", "grid_block",
+        "exp_mode",
+    ),
+)
+def pso_rollout_local(
+    keys: jnp.ndarray,  # [B, 2] uint32
+    guesses: jnp.ndarray,  # [B, 3] f32
+    deviations: jnp.ndarray,  # [B, 3] f32
+    sten: jnp.ndarray,  # [B, K2, N, 8] f32 (pack_rollout_local_inputs)
+    pts: jnp.ndarray,  # [B, N, 8] f32
+    cfg: PSOConfig,
+    map_cfg: MapConfig,
+    radius: int = 2,
+    interpret: bool = False,
+    rng_mode: str = "threefry",
+    grid_block: int | None = None,
+    exp_mode: str | None = None,
+):
+    """B whole-solve PSO rollouts with per-particle exact stencil rebinding
+    (`_rollout_local_kernel`) — the kernel for the reference's own
+    sequential deployment (`scan.launch`, 0.5 m cells), where the frozen
+    binding fails the accuracy gate.  Returns (pose [B, 3], cost [B]).
+
+    Same RNG modes/grid blocking contract as :func:`pso_rollout`; there is
+    no bf16 mode (scoring is elementwise VPU work — no matmul to feed).
+    ``exp_mode=None`` resolves like pso_rollout: 'exp' (matches the XLA
+    `local_exact` path to float-associativity tolerance) for Threefry,
+    'exp2' for turbo."""
+    if exp_mode is None:
+        exp_mode = "exp2" if rng_mode == "native" else "exp"
+    b, k2_in, n, _ = sten.shape
+    if grid_block is not None and b > grid_block:
+        nb = -(-b // grid_block)
+        pad = nb * grid_block - b
+        rsh = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+        ).reshape((nb, grid_block) + x.shape[1:]) if pad else x.reshape(
+            (nb, grid_block) + x.shape[1:]
+        )
+        block = functools.partial(
+            pso_rollout_local, cfg=cfg, map_cfg=map_cfg, radius=radius,
+            interpret=interpret, rng_mode=rng_mode, grid_block=None,
+            exp_mode=exp_mode,
+        )
+        poses, costs = jax.lax.map(
+            lambda a: block(a[0], a[1], a[2], a[3], a[4]),
+            (rsh(keys), rsh(guesses), rsh(deviations), rsh(sten), rsh(pts)),
+        )
+        return (
+            poses.reshape(nb * grid_block, 3)[:b],
+            costs.reshape(nb * grid_block)[:b],
+        )
+    p_pad = -(-cfg.population // 128) * 128
+    k2 = (2 * radius + 1) ** 2
+    assert n % 128 == 0, f"padded beam count {n} must be lane-aligned (128)"
+    assert k2_in == k2
+    kern = functools.partial(
+        _rollout_local_kernel,
+        cfg=cfg,
+        half=map_cfg.size_m / 2.0,
+        inv_cell=1.0 / map_cfg.cell_side_m,
+        radius=radius,
+        n_pts=n,
+        p_pad=p_pad,
+        native_rng=rng_mode == "native",
+        exp_mode=exp_mode,
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, n, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, k2, n, 8), lambda i: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (cfg.iterations + 2) * p_pad * n * (14 * k2 + 30),
+            bytes_accessed=4 * b * (k2 * n * 8 + n * 8 + 8 * 128),
+            transcendentals=b * (cfg.iterations + 2) * p_pad * n,
+        ),
+    )(
+        keys.astype(jnp.uint32),
+        guesses.astype(jnp.float32),
+        deviations.astype(jnp.float32),
+        pts,
+        sten,
+    )
+    return out[:, 0:3, 0], out[:, 3, 0]

@@ -66,6 +66,8 @@ COST_MODES = frozenset(
         "rollout_bf16",
         "rollout_turbo",
         "rollout_turbo_bf16",
+        "rollout_local",
+        "rollout_local_turbo",
     }
 )
 
@@ -130,7 +132,9 @@ def _solve_batch_impl(
         from ndtpso_slam_tpu.models.pso import PsoResult
         from ndtpso_slam_tpu.ops.pallas_rollout import (
             pack_rollout_inputs,
+            pack_rollout_local_inputs,
             pso_rollout,
+            pso_rollout_local,
         )
 
         interpret = jax.default_backend() != "tpu"
@@ -140,14 +144,23 @@ def _solve_batch_impl(
             ),
             in_axes=(0, snap_ax, 0, 0),
         )(guesses, snaps, points, valid)
-        sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, points)
-        pose, cost = pso_rollout(
-            keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
-            radius=STENCIL_RADIUS, interpret=interpret,
-            score_dtype="bf16" if "bf16" in cost_mode else "f32",
-            rng_mode="native" if "turbo" in cost_mode else "threefry",
-            grid_block=ROLLOUT_GRID_BLOCK,
-        )
+        rng_mode = "native" if "turbo" in cost_mode else "threefry"
+        if "local" in cost_mode:
+            sten, pts = jax.vmap(pack_rollout_local_inputs)(nbrs, points)
+            pose, cost = pso_rollout_local(
+                keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
+                radius=STENCIL_RADIUS, interpret=interpret,
+                rng_mode=rng_mode, grid_block=ROLLOUT_GRID_BLOCK,
+            )
+        else:
+            sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, points)
+            pose, cost = pso_rollout(
+                keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
+                radius=STENCIL_RADIUS, interpret=interpret,
+                score_dtype="bf16" if "bf16" in cost_mode else "f32",
+                rng_mode=rng_mode,
+                grid_block=ROLLOUT_GRID_BLOCK,
+            )
         return PsoResult(pose=pose.astype(guesses.dtype), cost=cost)
     if cost_mode in ("fast_fused", "fast_local_fused"):
         interpret = jax.default_backend() != "tpu"
