@@ -100,6 +100,12 @@ def main():
     )
     ap.add_argument("--og", action="store_true",
                     help="slam config: build the occupancy grid raster")
+    ap.add_argument("--fleet-mode", default="vmap", choices=["vmap", "flat"],
+                    help="slam config with --robots N: 'vmap' = "
+                    "run_offline_batch (batched-scatter carry: XLA copies "
+                    "map state per step); 'flat' = run_offline_fleet "
+                    "(robot axis folded into the cell axis -> in-place "
+                    "flat scatters, no copy wall)")
     ap.add_argument("--robots", type=int, default=1,
                     help="slam config: run N independent SLAM sessions as "
                     "one vmapped program (run_offline_batch) and report "
@@ -432,7 +438,12 @@ def bench_slam(args):
             [np.full(b, 3, np.uint32), np.arange(9, 9 + b, dtype=np.uint32)],
             -1,
         )
-        run = lambda: slam.run_offline_batch(state0, scans, keys, cfg)
+        if args.fleet_mode == "flat":
+            from ndtpso_slam_tpu.parallel.fleet import run_offline_fleet
+
+            run = lambda: run_offline_fleet(state0, scans, keys, cfg)
+        else:
+            run = lambda: slam.run_offline_batch(state0, scans, keys, cfg)
     t0 = time.time()
     final_state, poses, _ = run()
     jax.block_until_ready(poses)
@@ -518,6 +529,8 @@ def bench_slam(args):
         scale += f"_r{args.ring_rows}"
     og = "_og" if args.og else ""
     robots = f"_{b}robots" if b > 1 else ""
+    if b > 1 and args.fleet_mode == "flat":
+        robots += "_flat"
     print(json.dumps({
         "metric": (
             f"sequential_slam_scans_per_s_{cfg.pso.population}p_"

@@ -1,0 +1,356 @@
+"""Flat-fleet SLAM: B sessions with the robot axis folded into the CELL axis.
+
+`run_offline_batch` (models/slam.py) vmaps whole sessions — semantically
+perfect, but XLA lowers a *batched* scatter inside a `lax.scan` carry to a
+copy of the whole operand per step (isolated in
+`experiments/batched_scatter_ab.py`; donation does not help), so the fleet
+pays ~full-map-state bytes of HBM traffic per scan per robot.  The sparse
+ring (`MapConfig.ring_rows`) shrank those bytes 11-45x; this module removes
+the copy itself.
+
+The trick: a batched scatter over ``[B, C]`` with per-robot indices is
+exactly an UNBATCHED scatter over the flattened ``[B*C]`` array with
+``flat_id = b*C + id`` — and unbatched scatters on a scan carry are what
+XLA updates in place (the solo `run_offline` path, which has no copy wall).
+So the fleet step here runs the *solves* vmapped (pure reads — vmap costs
+nothing) and the *map update/build* as single flat scatters over the
+``[B*C]`` cell axis and the ``[B*R]`` ring axis.  Per-robot arithmetic is
+bit-identical to `ndt_map.add_points`/`build_touched` (same `_build_rows`
+row math, same scatter sets with disjoint per-robot id ranges), so fleet
+trajectories reproduce solo runs exactly — asserted in
+`tests/test_parallel.py`.
+
+Scope: the performance path for the reference's one-process-per-LiDAR
+deployment DP (`launch/lidar_front.launch:2,11-14`) at fleet scale.
+Recovery (`lax.cond` degenerates to both-branches under batching) and the
+occupancy raster keep using `run_offline_batch`; the Pallas rollout modes
+are not vmappable — use the XLA cost modes (the deployment default
+`local_exact` included).
+
+Reference semantics preserved: `ndtcell.cpp:21-68` ingestion/build,
+`ndtframe.cpp:187-198` update, per-node state isolation of the multi-LiDAR
+launch files.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ndtpso_slam_tpu.config import MapConfig, SlamConfig
+from ndtpso_slam_tpu.models import ndt_map
+from ndtpso_slam_tpu.models.ndt_map import NdtMapState, _build_rows, _CellRows
+from ndtpso_slam_tpu.models.scan import Scan
+from ndtpso_slam_tpu.models.slam import AlignState, SlamState, align
+from ndtpso_slam_tpu.ops import rng
+from ndtpso_slam_tpu.ops.geometry import cell_index, transform_points
+
+
+def _flat(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, M, ...] -> [B*M, ...] (a bitcast; XLA aliases through it)."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
+def _unflat(x: jnp.ndarray, b: int) -> jnp.ndarray:
+    return x.reshape((b, x.shape[0] // b) + x.shape[1:])
+
+
+def fleet_add_points(
+    ms: NdtMapState, cfg: MapConfig, wpts: jnp.ndarray, valid: jnp.ndarray
+) -> NdtMapState:
+    """`ndt_map.add_points` for a stacked [B, ...] map state as ONE flat
+    scatter per field.  wpts: [B, N, 2]; valid: [B, N]."""
+    b, n = valid.shape
+    c = cfg.num_cells
+    idx, inb = cell_index(
+        wpts, size_m=cfg.size_m, cell_side_m=cfg.cell_side_m,
+        cells_per_side=cfg.cells_per_side,
+    )  # [B, N]
+    mask = valid & inb
+    off = jnp.arange(b, dtype=idx.dtype)[:, None] * c
+    fid = jnp.where(mask, idx + off, b * c).reshape(-1)  # [B*N] flat sentinel
+    dtype = ms.cur_sum.dtype
+    centred = (
+        wpts - ndt_map.cell_centers(cfg, dtype)[jnp.where(mask, idx, 0)]
+    ).astype(dtype)
+    px, py = centred[..., 0], centred[..., 1]
+    m2 = jnp.stack([px * px, px * py, py * py], axis=-1)
+    mflat = mask.reshape(-1)
+    cen = jnp.where(mflat[:, None], centred.reshape(-1, 2), 0)
+    m2f = jnp.where(mflat[:, None], m2.reshape(-1, 3), 0)
+    one = mflat.astype(jnp.int32)
+    return ms.replace(
+        cur_sum=_unflat(_flat(ms.cur_sum).at[fid].add(cen, mode="drop"), b),
+        cur_count=_unflat(_flat(ms.cur_count).at[fid].add(one, mode="drop"), b),
+        cur_m2=_unflat(_flat(ms.cur_m2).at[fid].add(m2f, mode="drop"), b),
+        created=_unflat(_flat(ms.created).at[fid].set(True, mode="drop"), b),
+        built=_unflat(_flat(ms.built).at[fid].set(False, mode="drop"), b),
+    )
+
+
+def fleet_build_touched(
+    ms: NdtMapState, cfg: MapConfig, ids: jnp.ndarray
+) -> NdtMapState:
+    """`ndt_map.build_touched` for a stacked [B, ...] map state as flat
+    gathers/scatters.  ids: [B, M] robot-local cell ids (sentinel >= C
+    dropped).  Bit-identical per robot to the unbatched build (same
+    `_build_rows` math on the same rows)."""
+    b, m = ids.shape
+    c = cfg.num_cells
+    off = jnp.arange(b, dtype=ids.dtype)[:, None] * c
+    sentinel = ids >= c
+    fid = jnp.where(sentinel, b * c, ids + off)  # [B, M]
+    safe = jnp.where(sentinel, 0, ids + off)
+    fidf = fid.reshape(-1)
+    safef = safe.reshape(-1)
+    slot = _flat(ms.slot_idx)[safef]  # [B*M]
+
+    extra = {}
+    if cfg.ring_rows > 0:
+        r_cap = cfg.ring_rows
+        # First-touch ring-row assignment, per robot: mark via one flat
+        # scatter, then the order cumsum runs along the robot-local cell
+        # axis so each robot numbers its own new cells (ndt_map's
+        # assignment, vectorized over B with no batched scatter).
+        mark = (
+            jnp.zeros((b * c + 1,), bool)
+            .at[fidf].set(True, mode="promise_in_bounds")[: b * c]
+            .reshape(b, c)
+        )
+        newmask = mark & (ms.ring_map == -1)  # [B, C]
+        order = jnp.cumsum(newmask.astype(jnp.int32), axis=1)
+        assigned = ms.ring_used[:, None] + order - 1
+        ok = newmask & (assigned < r_cap)
+        ring_map = jnp.where(
+            ok, assigned, jnp.where(newmask, -2, ms.ring_map)
+        )
+        n_new = jnp.sum(ok.astype(jnp.int32), axis=1)  # [B]
+        rrow = _flat(ring_map)[safef]  # [B*M] robot-local ring row
+        has_row = rrow >= 0
+        frow = rrow + (safef // c) * r_cap  # flat [B*R] row
+        sidxf = jnp.where(has_row, fidf, b * c)
+        ring_idx = jnp.where(has_row & ~sentinel.reshape(-1), frow, b * r_cap)
+        ring_safe = jnp.where(has_row, frow, 0)
+        extra = dict(
+            ring_map=ring_map,
+            ring_used=ms.ring_used + n_new,
+            ring_overflow=ms.ring_overflow
+            + jnp.sum((newmask & ~ok).astype(jnp.int32), axis=1),
+        )
+    else:
+        sidxf = fidf
+        ring_idx = fidf
+        ring_safe = safef
+
+    # Ring rows move WHOLE (1D row ids) and the open slot is edited by a
+    # one-hot inside the row: XLA's scatter/gather with a per-row COLUMN
+    # index (2D indices into [rows, S, k]) drops to a slow lowering once
+    # the operand passes ~0.5M rows — measured 22.0 ms/step at [720k, 100]
+    # vs 0.78 ms for the 1D row form (same update, B=2 full scale), which
+    # was the entire fleet copy wall remnant.  Whole rows cost only
+    # [B*M, S, 6] ≈ 7 MB/step of traffic.  Duplicate ids compute identical
+    # rows from identical inputs, so whole-row .set stays order-independent.
+    s_slots = cfg.window_slots
+    g = lambda arr: _flat(arr)[safef]
+    rs_sum = _flat(ms.slot_sum)[ring_safe]  # [B*M, S, 2]
+    rs_cnt = _flat(ms.slot_count)[ring_safe]  # [B*M, S]
+    rs_cov = _flat(ms.slot_cov)[ring_safe]  # [B*M, S, 3]
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (slot.shape[0], s_slots), 1)
+        == slot[:, None]
+    )  # [B*M, S] one-hot of the open slot
+    rows = _CellRows(
+        mean_c=g(ms.mean_c),
+        inv_cov=g(ms.inv_cov),
+        built=g(ms.built),
+        g_sum=g(ms.g_sum),
+        g_count=g(ms.g_count),
+        g_cov=g(ms.g_cov),
+        old_sum=jnp.sum(jnp.where(oh[..., None], rs_sum, 0), axis=1),
+        old_count=jnp.sum(jnp.where(oh, rs_cnt, 0), axis=1),
+        old_cov=jnp.sum(jnp.where(oh[..., None], rs_cov, 0), axis=1),
+        slot_idx=slot,
+        rot_count=g(ms.rot_count),
+        cur_sum=g(ms.cur_sum),
+        cur_count=g(ms.cur_count),
+        cur_m2=g(ms.cur_m2),
+    )
+    new = _build_rows(cfg, rows)
+    put = lambda arr, val: _unflat(
+        _flat(arr).at[sidxf].set(val, mode="drop"), b
+    )
+    return ms.replace(
+        mean_c=put(ms.mean_c, new.mean_c),
+        inv_cov=put(ms.inv_cov, new.inv_cov),
+        built=put(ms.built, new.built),
+        g_sum=put(ms.g_sum, new.g_sum),
+        g_count=put(ms.g_count, new.g_count),
+        g_cov=put(ms.g_cov, new.g_cov),
+        slot_sum=_unflat(
+            _flat(ms.slot_sum).at[ring_idx].set(
+                jnp.where(oh[..., None], new.old_sum[:, None, :], rs_sum),
+                mode="drop",
+            ),
+            b,
+        ),
+        slot_count=_unflat(
+            _flat(ms.slot_count).at[ring_idx].set(
+                jnp.where(oh, new.old_count[:, None], rs_cnt), mode="drop"
+            ),
+            b,
+        ),
+        slot_cov=_unflat(
+            _flat(ms.slot_cov).at[ring_idx].set(
+                jnp.where(oh[..., None], new.old_cov[:, None, :], rs_cov),
+                mode="drop",
+            ),
+            b,
+        ),
+        slot_idx=put(ms.slot_idx, new.slot_idx),
+        rot_count=put(ms.rot_count, new.rot_count),
+        cur_sum=put(ms.cur_sum, new.cur_sum),
+        cur_count=put(ms.cur_count, new.cur_count),
+        cur_m2=put(ms.cur_m2, new.cur_m2),
+        **extra,
+    )
+
+
+def _fleet_step(
+    states: SlamState, scan_t: Scan, keys: jnp.ndarray, cfg: SlamConfig
+) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray]:
+    """One fleet step: vmapped solves, flat map update.  Mirrors
+    `slam_step` (align/first-scan/fitness bookkeeping) minus recovery/OG."""
+    b = keys.shape[0]
+    dtype = states.pose.dtype
+    first = states.step == 0  # [B]
+    snaps = jax.vmap(lambda m: ndt_map.snapshot(m, cfg.map))(states.map)
+    new_astates, results = jax.vmap(
+        lambda k, a, sn, sc, g: align((k[0], k[1]), a, sn, sc, g, cfg)
+    )(keys, states.align, snaps, scan_t, states.pose)
+    pose = jnp.where(first[:, None], states.pose, results.pose)
+    astate = jax.tree_util.tree_map(
+        lambda old, new: jnp.where(
+            first.reshape((b,) + (1,) * (new.ndim - 1)), old, new
+        ),
+        states.align,
+        new_astates,
+    )
+    n_valid = jnp.sum(scan_t.valid, axis=1)
+    cost = results.cost.astype(dtype)
+    fitness = -cost / jnp.maximum(n_valid, 1).astype(dtype)
+
+    wpts = jax.vmap(transform_points)(scan_t.points, pose)
+    idx, inb = cell_index(
+        wpts, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
+        cells_per_side=cfg.map.cells_per_side,
+    )
+    ids = jnp.where(scan_t.valid & inb, idx, cfg.map.num_cells)
+    new_map = fleet_add_points(states.map, cfg.map, wpts, scan_t.valid)
+    new_map = fleet_build_touched(
+        new_map, cfg.map, jnp.concatenate([ids, states.prev_ids], axis=1)
+    )
+    new_states = SlamState(
+        map=new_map, align=astate, og=None, pose=pose,
+        step=states.step + 1, fitness=fitness,
+        recoveries=states.recoveries, prev_ids=ids,
+    )
+    return new_states, pose, cost
+
+
+def _check_fleet_cfg(cfg: SlamConfig) -> None:
+    if cfg.recovery.enabled:
+        raise ValueError(
+            "the flat-fleet path does not compile the recovery branch "
+            "(batched lax.cond executes both branches for every robot); "
+            "use run_offline_batch for recovery-enabled fleets"
+        )
+    if cfg.og.enabled:
+        raise ValueError(
+            "the flat-fleet path does not raster occupancy grids; use "
+            "run_offline_batch (or raster per robot offline from the map "
+            "state export)"
+        )
+    if cfg.cost_mode.startswith("rollout"):
+        raise ValueError(
+            "Pallas rollout modes are not vmappable across the fleet; use "
+            "an XLA cost mode (deployment default: local_exact)"
+        )
+
+
+def _run_offline_fleet_impl(states, scans, base_keys, cfg):
+    def step(carry, scan_t):
+        states, i = carry
+        keys = jax.vmap(
+            lambda bk: jnp.stack(
+                rng.threefry2x32(
+                    (bk[0], bk[1]), jnp.asarray(i, jnp.uint32),
+                    jnp.asarray(0, jnp.uint32),
+                )
+            )
+        )(base_keys)
+        states, pose, cost = _fleet_step(states, scan_t, keys, cfg)
+        return (states, i + 1), (pose, cost)
+
+    xs = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), scans)
+    (states, _), (poses, costs) = jax.lax.scan(step, (states, 0), xs)
+    return states, jnp.swapaxes(poses, 0, 1), jnp.swapaxes(costs, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_offline_fleet(
+    states: SlamState, scans: Scan, base_keys, cfg: SlamConfig
+) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray]:
+    """B SLAM sessions over recorded logs, copy-wall-free.
+
+    Same contract as `run_offline_batch` (states from `init_slam_batch`,
+    scans [B, T, ...], base_keys [B, 2]; returns (states', poses [B, T, 3],
+    costs [B, T])) and the same per-robot results — but the map update is
+    one flat scatter per field instead of a batched scatter, so the scan
+    carry updates in place.
+    """
+    _check_fleet_cfg(cfg)
+    return _run_offline_fleet_impl(
+        states, scans, jnp.asarray(base_keys, jnp.uint32), cfg
+    )
+
+
+def make_fleet_sharded(mesh, cfg: SlamConfig, axis="solves"):
+    """Jitted fleet runner with the ROBOT axis sharded over a device mesh.
+
+    The reference's deployment DP is one OS process per LiDAR on one
+    machine (`launch/lidar_front.launch:2,11-14`); at TPU-pod scale the
+    same shape is robots-over-devices: each device runs the flat-fleet
+    loop for its B/n_devices sessions — maps are private, so there are NO
+    collectives, and per-robot results equal the single-device fleet
+    (asserted on the virtual CPU mesh in tests/test_parallel.py).
+
+    Returns ``f(states, scans, base_keys) -> (states', poses, costs)``
+    with every input/output sharded on the leading (robot) axis, which
+    must divide the mesh axis size.  Build once and reuse (each fresh
+    build recompiles).
+    """
+    _check_fleet_cfg(cfg)
+    from jax.sharding import PartitionSpec
+
+    spec = PartitionSpec(axis)
+    local = lambda st, sc, bk: _run_offline_fleet_impl(st, sc, bk, cfg)
+    shm = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(shm)
+
+
+def run_offline_fleet_sharded(
+    mesh, states: SlamState, scans: Scan, base_keys, cfg: SlamConfig,
+    axis: str = "solves",
+) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray]:
+    """One-shot convenience wrapper around :func:`make_fleet_sharded`."""
+    runner = make_fleet_sharded(mesh, cfg, axis=axis)
+    return runner(states, scans, jnp.asarray(base_keys, jnp.uint32))

@@ -230,3 +230,142 @@ def test_solve_batch_rejects_unknown_cost_mode(world):
             keys, guesses, devs, snaps, points, valid, MAP_CFG,
             cfgm.PSOConfig(iterations=2, population=32), "rollout_brf16",
         )
+
+
+# ---------------------------------------------------------------------------
+# Flat fleet (parallel/fleet.py): robot axis folded into the cell axis.
+
+
+def _fleet_fixture(ring_rows=0, b=3, n_scans=10):
+    import dataclasses
+
+    from ndtpso_slam_tpu.io import synthetic
+    from ndtpso_slam_tpu.models import scan as scan_mod
+
+    cfg = cfgm.SlamConfig(
+        pso=cfgm.PSOConfig(iterations=15, population=50),
+        map=cfgm.MapConfig(size_m=48.0, cell_side_m=1.0, window_slots=4,
+                           slot_capacity=20, ring_rows=ring_rows),
+        scan=cfgm.ScanConfig(max_beams=256),
+        og=cfgm.OccupancyGridConfig(enabled=False),
+        cost_mode="local_exact",
+    )
+    logs = [
+        synthetic.make_log(seed=20 + r, n_scans=n_scans, n_beams=256,
+                           world_size=40.0, odom_noise=0.02)
+        for r in range(b)
+    ]
+
+    def load(lg):
+        loaded = [
+            scan_mod.load_laser(rr, lg.angle_min, lg.angle_increment,
+                                lg.range_max, cfg.scan, cfg.map)
+            for rr in lg.ranges
+        ]
+        return scan_mod.Scan(
+            points=jnp.stack([s.points for s in loaded]),
+            valid=jnp.stack([s.valid for s in loaded]),
+        )
+
+    scans = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[load(lg) for lg in logs]
+    )
+    init_poses = np.stack([lg.poses[0] for lg in logs]).astype(np.float32)
+    keys = np.stack(
+        [np.full(b, 3, np.uint32), np.arange(9, 9 + b, dtype=np.uint32)], -1
+    )
+    return cfg, logs, scans, init_poses, keys
+
+
+@pytest.mark.parametrize("ring_rows", [0, 512])
+def test_fleet_flat_matches_solo_bitwise(ring_rows):
+    """run_offline_fleet == per-robot run_offline, BITWISE: the flat-scatter
+    map update must be the same arithmetic as the solo path (disjoint
+    per-robot id ranges, identical row math)."""
+    from ndtpso_slam_tpu.models import slam as slam_mod
+    from ndtpso_slam_tpu.parallel.fleet import run_offline_fleet
+
+    cfg, logs, scans, init_poses, keys = _fleet_fixture(ring_rows=ring_rows)
+    states = slam_mod.init_slam_batch(cfg, init_poses)
+    fstates, fposes, fcosts = run_offline_fleet(states, scans, keys, cfg)
+    for r in range(len(logs)):
+        solo = slam_mod.init_slam(cfg, initial_pose=tuple(init_poses[r]))
+        sscans = jax.tree_util.tree_map(lambda x: x[r], scans)
+        solo, sposes, scosts = slam_mod.run_offline(
+            solo, sscans, (keys[r, 0], keys[r, 1]), cfg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fposes[r]), np.asarray(sposes),
+            err_msg=f"robot {r} poses diverged from solo",
+        )
+        # Map state bitwise too (the real invariant: the flat build wrote
+        # exactly the solo rows).
+        for name in ("mean_c", "inv_cov", "built", "g_sum", "g_count",
+                     "slot_idx", "rot_count", "cur_sum", "cur_count"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fstates.map, name))[r],
+                np.asarray(getattr(solo.map, name)),
+                err_msg=f"robot {r} map.{name} diverged from solo",
+            )
+        if ring_rows:
+            np.testing.assert_array_equal(
+                np.asarray(fstates.map.ring_map)[r],
+                np.asarray(solo.map.ring_map),
+            )
+            assert int(fstates.map.ring_used[r]) == int(solo.map.ring_used)
+
+
+def test_fleet_flat_matches_run_offline_batch():
+    """Same results as the vmapped fleet path (which is itself solo-bitwise)
+    — the two fleet APIs are interchangeable."""
+    from ndtpso_slam_tpu.models import slam as slam_mod
+    from ndtpso_slam_tpu.parallel.fleet import run_offline_fleet
+
+    cfg, logs, scans, init_poses, keys = _fleet_fixture(b=2, n_scans=6)
+    states = slam_mod.init_slam_batch(cfg, init_poses)
+    _, fposes, _ = run_offline_fleet(states, scans, keys, cfg)
+    states2 = slam_mod.init_slam_batch(cfg, init_poses)
+    _, vposes, _ = slam_mod.run_offline_batch(states2, scans, keys, cfg)
+    np.testing.assert_array_equal(np.asarray(fposes), np.asarray(vposes))
+
+
+def test_fleet_flat_rejects_unsupported_configs():
+    import dataclasses
+
+    from ndtpso_slam_tpu.models import slam as slam_mod
+    from ndtpso_slam_tpu.parallel.fleet import run_offline_fleet
+
+    cfg, logs, scans, init_poses, keys = _fleet_fixture(b=2, n_scans=4)
+    states = slam_mod.init_slam_batch(cfg, init_poses)
+    for bad in (
+        dataclasses.replace(cfg, recovery=cfgm.RecoveryConfig(enabled=True)),
+        dataclasses.replace(cfg, og=cfgm.OccupancyGridConfig(enabled=True)),
+        dataclasses.replace(cfg, cost_mode="rollout"),
+    ):
+        with pytest.raises(ValueError):
+            run_offline_fleet(states, scans, keys, bad)
+
+
+def test_fleet_sharded_matches_unsharded():
+    """Robots-over-devices fleet (shard_map, private maps, no collectives)
+    == the single-device flat fleet, bitwise, on the virtual CPU mesh."""
+    from ndtpso_slam_tpu.models import slam as slam_mod
+    from ndtpso_slam_tpu.parallel.fleet import (
+        run_offline_fleet,
+        run_offline_fleet_sharded,
+    )
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    b = n_dev  # one robot per device
+    cfg, logs, scans, init_poses, keys = _fleet_fixture(b=b, n_scans=6)
+    states = slam_mod.init_slam_batch(cfg, init_poses)
+    _, ref_poses, ref_costs = run_offline_fleet(states, scans, keys, cfg)
+    mesh = mesh_mod.make_mesh()
+    states2 = slam_mod.init_slam_batch(cfg, init_poses)
+    fstates, poses, costs = run_offline_fleet_sharded(
+        mesh, states2, scans, keys, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(poses), np.asarray(ref_poses))
+    np.testing.assert_array_equal(np.asarray(costs), np.asarray(ref_costs))
