@@ -589,7 +589,15 @@ def bench_recovery(args):
         scan=cfgm.ScanConfig(max_beams=args.pad_beams),
         cost_mode="local_exact",
     )
-    cfg_rec = dc.replace(base, recovery=cfgm.RecoveryConfig(enabled=True))
+    # Full scale also thins the stage-1 sweep (grid_beam_stride=2): the
+    # sweep is gather-row-bound and dominates event latency; the in-bench
+    # relocalization accuracy gate below validates the thinned ranking.
+    cfg_rec = dc.replace(
+        base,
+        recovery=cfgm.RecoveryConfig(
+            enabled=True, grid_beam_stride=2 if args.full_scale else 1
+        ),
+    )
 
     t0 = time.time()
     cpu = jax.devices("cpu")[0]

@@ -177,6 +177,16 @@ class RecoveryConfig:
     # lightly inflated one; a final exact-cost polish solve nails the pose.
     grid_sigma: float = 0.5
     refine_sigma: float = 0.1
+    # Stage-1 sweep beam stride: score the coarse grid with every k-th
+    # beam.  The sweep's cost is gather-row-bound (grid_poses x beams
+    # rows, ~60 ms of the measured event latency at stride 1); thinning
+    # only affects the σ-inflated basin RANKING — stages 2/3 rescore
+    # hypotheses with every beam and the accept decision is always the
+    # full exact cost.  Default 1 (exhaustive): in beam-sparse worlds a
+    # thinned sweep can rank a false basin first (observed on the 6-box
+    # test fixture).  2 is validated per-run by the full-scale recovery
+    # bench, whose in-bench accuracy gate covers the thinned sweep.
+    grid_beam_stride: int = 1
     # Stage 2: the top-K grid candidates (plus the last pose and the failed
     # align) are refined by a multi-swarm PSO with a sub-grid-spacing radius.
     k_hypotheses: int = 8

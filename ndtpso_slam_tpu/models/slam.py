@@ -293,8 +293,15 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
     # x 384); fewer, larger chunks = fewer serial lax.map steps on TPU.
     chunk = next(c for c in range(min(8192, g), 0, -1) if g % c == 0)
     coarse_snap = ndt_map.smooth_snapshot(snap, rc.grid_sigma)
+    # Stage-1 beam subsampling (rc.grid_beam_stride): the sweep is gather-
+    # row-bound (G x N rows); the inflated-cost basin ranking it produces
+    # is insensitive to beam thinning, and every later stage uses all
+    # beams.  Static stride keeps shapes compile-time.
+    stride = max(int(rc.grid_beam_stride), 1)
+    s_points = scan.points[::stride]
+    s_valid = scan.valid[::stride]
     coarse = lambda poses: cost_mod.ndt_cost(
-        poses, coarse_snap, scan.points, scan.valid, cfg.map
+        poses, coarse_snap, s_points, s_valid, cfg.map
     )
     score = lambda poses: cost_mod.ndt_cost(
         poses, snap, scan.points, scan.valid, cfg.map
