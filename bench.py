@@ -89,6 +89,11 @@ def main():
         "(frozen-binding modes lose tracking at 0.5 m cells), fast for "
         "multiswarm",
     )
+    ap.add_argument("--early-exit", type=int, default=0, metavar="K",
+                    help="batch config, rollout modes: stop a solve once the "
+                    "global best stalls K consecutive iterations (--iters "
+                    "becomes a cap; 0 = the reference's fixed budget). The "
+                    "accuracy gate still applies")
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
         "--config", default="batch",
@@ -162,6 +167,23 @@ def main():
         # The image's sitecustomize pins the axon TPU platform
         # programmatically; the env var alone is not honored.
         _jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: pins the XLA schedule a row compiles
+    # to across fresh processes (the full-scale row measured +-12% across
+    # recompiles of identical math in round 3 — a compile-schedule
+    # lottery) and makes re-runs start warm.  NDTPSO_BENCH_NO_CACHE=1
+    # opts out, to measure fresh-compile variance.
+    if os.environ.get("NDTPSO_BENCH_NO_CACHE") != "1":
+        import jax as _jx2
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        try:
+            _jx2.config.update("jax_compilation_cache_dir", cache_dir)
+            _jx2.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+            _jx2.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception as e:
+            log(f"persistent compile cache unavailable: {e}")
     if args.mode is None:
         args.mode = {"batch": "rollout_turbo", "slam": "local_exact",
                      "multiswarm": "fast", "recovery": "local_exact"}[args.config]
@@ -263,7 +285,8 @@ def main():
         assert b % n_dev == 0, f"--batch {b} must divide over {n_dev} devices"
         smesh = mesh_mod.make_mesh(n_dev)
         solver = mesh_mod.make_sharded_solver(
-            smesh, map_cfg, pso_cfg, cost_mode=args.mode
+            smesh, map_cfg, pso_cfg, cost_mode=args.mode,
+            early_exit=args.early_exit,
         )
         # Inputs committed to device 0 above conflict with a >1-device mesh:
         # re-place each batch-leading array sharded over the solve axis.
@@ -277,6 +300,7 @@ def main():
         run = lambda: mesh_mod.solve_batch(
             keys, guesses, deviations, snaps, q_pts, q_valid,
             map_cfg, pso_cfg, cost_mode=args.mode,
+            early_exit=args.early_exit,
         )
 
     t0 = time.time()
@@ -312,7 +336,9 @@ def main():
             f"({solves_per_s / n_dev:.1f} solves/s/device)")
         metric = (
             f"scan_match_solves_per_s_{args.particles}p_{args.iters}i_"
-            f"{args.mode}_sharded{n_dev}dev"
+            f"{args.mode}"
+            + (f"_ee{args.early_exit}" if args.early_exit else "")
+            + f"_sharded{n_dev}dev"
         )
         baseline = 625.0 * n_dev  # north-star per-chip share x devices
     else:

@@ -125,6 +125,7 @@ def _rollout_kernel(
     score_dtype=jnp.float32,
     native_rng: bool = False,
     exp_mode: str = "exp",
+    early_exit: int = 0,
 ):
     # Lane layout: p_pad = population rounded up to the 128-lane register
     # width.  Lanes >= cfg.population are INERT padding — their cost is
@@ -337,7 +338,37 @@ def _rollout_kernel(
         return pos, vel, pbest, pbest_cost, gbest, gcost, w * f32(cfg.w_damping)
 
     init = (pos, jnp.zeros_like(pos), pos, cost, gbest, gcost, f32(cfg.w))
-    *_, gbest, gcost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
+    if early_exit > 0:
+        # Converged-swarm early exit: the reference's fixed iteration count
+        # (`core.cpp:78`) becomes a CAP — the loop stops once the global
+        # best has not improved for `early_exit` consecutive iterations.
+        # The roofline bottleneck is the [N, P] exp per iteration, so every
+        # skipped iteration is pure throughput; skipped iterations also
+        # skip their Threefry counters deterministically (the draw stream
+        # is counter-indexed by i), so a given solve is still exactly
+        # reproducible per key.  NOT a parity mode: solves that would have
+        # improved after a stall return the stalled best.
+        def ee_cond(carry):
+            i, stale, *_ = carry
+            # Mosaic scalarizes int32 [1,1] extractions only (not bool),
+            # so the stale counter stays an int32 [1, 1] vector.
+            return jnp.logical_and(i < cfg.iterations,
+                                   stale[0, 0] < early_exit)
+
+        def ee_body(carry):
+            i, stale, inner = carry
+            gcost_before = inner[5]
+            inner = body(i, inner)
+            imp = (inner[5] < gcost_before).astype(jnp.int32)  # [1, 1]
+            stale = jnp.where(imp > 0, 0, stale + 1)
+            return i + 1, stale, inner
+
+        _, _, (_, _, _, _, gbest, gcost, _) = jax.lax.while_loop(
+            ee_cond, ee_body,
+            (jnp.int32(0), jnp.zeros((1, 1), jnp.int32), init),
+        )
+    else:
+        *_, gbest, gcost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
 
     res_row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     res8 = jnp.where(res_row < 3, gbest, gcost)  # rows 3..7 = cost
@@ -380,7 +411,7 @@ def pack_rollout_inputs(nbr, points):
     jax.jit,
     static_argnames=(
         "cfg", "map_cfg", "radius", "interpret", "score_dtype", "rng_mode",
-        "grid_block", "exp_mode",
+        "grid_block", "exp_mode", "early_exit",
     ),
 )
 def pso_rollout(
@@ -397,8 +428,14 @@ def pso_rollout(
     rng_mode: str = "threefry",
     grid_block: int | None = None,
     exp_mode: str | None = None,
+    early_exit: int = 0,
 ):
     """B independent whole-solve PSO rollouts.  Returns (pose [B,3], cost [B]).
+
+    ``early_exit=K`` (0 = off) stops a solve once its global best has not
+    improved for K consecutive iterations — `cfg.iterations` becomes a cap
+    (the reference's fixed budget, `core.cpp:78`, is the K=0 behavior).
+    Deterministic per key; not a parity mode.
 
     ``score_dtype='bf16'`` runs the [16,N]x[16,P] scoring matmul with bf16
     operands (f32 accumulate) — ~4x MXU rate, cost perturbation O(0.4%)
@@ -445,7 +482,7 @@ def pso_rollout(
         block = functools.partial(
             pso_rollout, cfg=cfg, map_cfg=map_cfg, radius=radius,
             interpret=interpret, score_dtype=score_dtype, rng_mode=rng_mode,
-            grid_block=None, exp_mode=exp_mode,
+            grid_block=None, exp_mode=exp_mode, early_exit=early_exit,
         )
         poses, costs = jax.lax.map(
             lambda a: block(a[0], a[1], a[2], a[3], a[4]),
@@ -472,6 +509,7 @@ def pso_rollout(
         score_dtype=jnp.bfloat16 if score_dtype == "bf16" else jnp.float32,
         native_rng=rng_mode == "native",
         exp_mode=exp_mode,
+        early_exit=early_exit,
     )
     out = pl.pallas_call(
         kern,

@@ -112,7 +112,7 @@ def _solve_one(key, guess, deviation, snap, points, valid, map_cfg, pso_cfg,
 
 def _solve_batch_impl(
     keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg,
-    cost_mode, shared_map=False, optimizer="pso",
+    cost_mode, shared_map=False, optimizer="pso", early_exit=0,
 ):
     if cost_mode not in COST_MODES:
         raise ValueError(
@@ -160,6 +160,7 @@ def _solve_batch_impl(
                 score_dtype="bf16" if "bf16" in cost_mode else "f32",
                 rng_mode=rng_mode,
                 grid_block=ROLLOUT_GRID_BLOCK,
+                early_exit=early_exit,
             )
         return PsoResult(pose=pose.astype(guesses.dtype), cost=cost)
     if cost_mode in ("fast_fused", "fast_local_fused"):
@@ -198,7 +199,8 @@ def _solve_batch_impl(
     )(keys, guesses, deviations, snaps, points, valid)
 
 
-@partial(jax.jit, static_argnames=("map_cfg", "pso_cfg", "cost_mode", "optimizer"))
+@partial(jax.jit, static_argnames=("map_cfg", "pso_cfg", "cost_mode", "optimizer",
+                                   "early_exit"))
 def solve_batch(
     keys: jnp.ndarray,  # [B, 2] uint32
     guesses: jnp.ndarray,  # [B, 3]
@@ -210,6 +212,7 @@ def solve_batch(
     pso_cfg: PSOConfig,
     cost_mode: str = "fast",
     optimizer: str = "pso",
+    early_exit: int = 0,
 ):
     """B independent scan-match solves, vmapped (BASELINE config 2).
 
@@ -219,7 +222,7 @@ def solve_batch(
     """
     return _solve_batch_impl(
         keys, guesses, deviations, snaps, points, valid, map_cfg, pso_cfg,
-        cost_mode, optimizer=optimizer,
+        cost_mode, optimizer=optimizer, early_exit=early_exit,
     )
 
 
@@ -230,6 +233,7 @@ def make_sharded_solver(
     cost_mode: str = "fast",
     shared_map: bool = False,
     axes=SOLVE_AXIS,
+    early_exit: int = 0,
 ):
     """Build a jitted sharded solve-batch function over the mesh's solve axes.
 
@@ -253,6 +257,7 @@ def make_sharded_solver(
         return _solve_batch_impl(
             keys, guesses, deviations, snaps, points, valid,
             map_cfg, pso_cfg, cost_mode, shared_map=shared_map,
+            early_exit=early_exit,
         )
 
     shmapped = jax.shard_map(

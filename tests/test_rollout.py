@@ -396,3 +396,33 @@ def test_rollout_local_turbo_converges_to_truth(world):
         "rollout_local_turbo",
     )
     assert np.abs(np.asarray(res.pose)[:, :2]).max() < 0.05
+
+
+def test_rollout_early_exit_semantics(world):
+    """early_exit=K makes iterations a CAP: with K >= iterations the loop
+    can never trip before the budget, so results are bitwise the fixed-
+    budget kernel's; small K still returns finite, accurate solves."""
+    from ndtpso_slam_tpu.models import cost as cost_mod
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_inputs, pso_rollout,
+    )
+
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=3)
+    cfg = cfgm.PSOConfig(iterations=10, population=128)
+    nbrs = jax.vmap(
+        lambda g, s, p, v: cost_mod.bind_neighborhood(
+            g, s, p, v, MAP_CFG, radius=cost_mod.DEFAULT_STENCIL_RADIUS
+        )
+    )(jnp.asarray(guesses), snaps, jnp.asarray(points), jnp.asarray(valid))
+    sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, jnp.asarray(points))
+    kw = dict(cfg=cfg, map_cfg=MAP_CFG,
+              radius=cost_mod.DEFAULT_STENCIL_RADIUS, interpret=True)
+    p0, c0 = pso_rollout(keys, guesses, devs, sten, pts, **kw)
+    p1, c1 = pso_rollout(keys, guesses, devs, sten, pts, early_exit=10, **kw)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    p2, c2 = pso_rollout(keys, guesses, devs, sten, pts, early_exit=2, **kw)
+    assert np.isfinite(np.asarray(p2)).all()
+    # An early-exited best can only be the same or worse than the full
+    # budget's (the loop monotonically improves gbest).
+    assert (np.asarray(c2) >= np.asarray(c0) - 1e-6).all()
