@@ -129,10 +129,10 @@ def main():
                     "instead of one per cell (MapConfig.ring_rows); shrinks "
                     "ring HBM/copy traffic by C/R")
     ap.add_argument("--patch-range", type=float, default=0.0, metavar="M",
-                    help="slam full-scale: laser range the rolled stencil "
-                    "patch must cover; 0 (default) rolls the full cell "
-                    "table — measured 2.2x FASTER at 360k cells than the "
-                    "dynamic-slice patch (benchlogs/slam_fullscale_nopatch)")
+                    help="slam full-scale: force the dynamic-slice stencil "
+                    "patch covering this laser range; 0 (default) = auto "
+                    "binder strategy (direct row gather above 32k cells — "
+                    "fastest measured; cost.py:bind_neighborhood)")
     ap.add_argument("--soak", type=int, default=None, metavar="T",
                     help="slam config: long-soak mode — T scans (1000+) on a "
                     "~157 m warehouse loop at full deployment scale; asserts "

@@ -4,7 +4,9 @@
 # committed artifact is benchlogs/<name>.json (PARITY.md cites the same
 # names).  Run from anywhere; heavy-compile rows (fast_matmul ~8.5 min,
 # multiswarm bf16 ~11 min) are last.  A wedged axon readback is retried by
-# bench.py's built-in supervisor (timeout + 2 retries).
+# bench.py's built-in supervisor (timeout + 2 retries).  bench.py keeps a
+# persistent XLA compile cache in ../.jax_cache (NDTPSO_BENCH_NO_CACHE=1
+# opts out), so re-runs start warm and rows are schedule-pinned.
 set -x
 cd "$(dirname "$0")/.."
 out=benchlogs
@@ -16,24 +18,35 @@ run_t() { t=$1; name=$2; shift 2; \
           echo "=== $name rc=$? $(cat $out/$name.json)"; }
 
 # Config 2 — batched solves (B=256, 4096p x 50i)
+run batch_rollout_turbo_ee4_sharded1  --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 4
+run batch_rollout_turbo_ee6_sharded1  --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 6
+run batch_rollout_turbo_bf16_ee4_sharded1 --config batch --mode rollout_turbo_bf16 --sharded --devices 1 --early-exit 4
 run batch_rollout_turbo_sharded1      --config batch --mode rollout_turbo --sharded --devices 1
 run batch_rollout_turbo               --config batch --mode rollout_turbo
 run batch_rollout_turbo_bf16          --config batch --mode rollout_turbo_bf16
-run batch_rollout_turbo_bf16_sharded1 --config batch --mode rollout_turbo_bf16 --sharded --devices 1
 run batch_rollout                     --config batch --mode rollout
 run batch_rollout_bf16                --config batch --mode rollout_bf16
 
-# Config 3 — sequential SLAM (50p x 30i, local_exact)
+# Config 3 — sequential SLAM (50p x 30i; local_exact default)
 run slam                 --config slam
 run slam_og              --config slam --og
+run slam_rollout_local   --config slam --mode rollout_local
 run slam_fullscale       --config slam --full-scale
 run slam_fullscale_og    --config slam --full-scale --og
+run slam_fullscale_rollout_local       --config slam --full-scale --mode rollout_local
+run slam_fullscale_rollout_local_turbo --config slam --full-scale --mode rollout_local_turbo
 run slam_8robots         --config slam --robots 8
-run_t 900 slam_fullscale_8robots --config slam --full-scale --robots 8
+
+# Fleet — flat path (robot axis folded into the cell axis; no copy wall)
+run_t 900 slam_fullscale_2robots_flat       --config slam --full-scale --robots 2 --fleet-mode flat
+run_t 900 slam_fullscale_2robots_r8192_flat --config slam --full-scale --robots 2 --ring-rows 8192 --fleet-mode flat
+run_t 900 slam_fullscale_8robots_r8192_flat --config slam --full-scale --robots 8 --ring-rows 8192 --fleet-mode flat
+run_t 900 slam_fullscale_8robots_r8192      --config slam --full-scale --robots 8 --ring-rows 8192
 run_t 900 slam_soak2400 --config slam --soak 2400 --og
 
 # Recovery — kidnapped-robot relocalization event latency
 run recovery             --config recovery
+run_t 900 recovery_fullscale --config recovery --full-scale
 
 # Config 4 — multi-swarm relocalization (16 x 4096p x 50i)
 run multiswarm_rollout_turbo      --config multiswarm --mode rollout_turbo

@@ -70,14 +70,13 @@ class NodeConfig:
     recovery: bool = False
     recovery_fitness_threshold: float = 0.15
     recovery_hypotheses: int = 8
-    # Max laser range the stencil patch must cover (m); 0 (default) rolls
-    # the full cell table.  >0 makes the stencil binders roll a scan-sized
-    # dynamic-slice window instead (cost.py:bind_neighborhood) — identical
-    # results while scans stay within range, and less transient HBM — but
-    # MEASURED 2.2x SLOWER at the reference's 360k-cell deployment scale
-    # (142.5 vs 317.5 scans/s, benchlogs/slam_fullscale[_nopatch].json):
-    # the dynamic-slice pipeline costs more than the 216 MB full-table roll
-    # it saves.  Keep 0 unless HBM-constrained.
+    # Max laser range the stencil patch must cover (m); 0 (default) lets
+    # the binder pick its strategy automatically (cost.py:bind_neighborhood
+    # — direct [N*K2]-row gather above 32k cells, table roll below; the
+    # gather made the 360k-cell patch/no-patch debate moot: it beats both,
+    # 280 -> ~690 scans/s full-scale).  >0 forces the dynamic-slice patch
+    # ROLL — only useful when transient HBM must be capped; measured
+    # slower than the auto strategy at deployment scale.
     patch_range_m: float = 0.0
     # Sparse sliding-window storage (MapConfig.ring_rows): 0 = dense (one
     # ring row per cell); R > 0 allocates R rows assigned on first build —

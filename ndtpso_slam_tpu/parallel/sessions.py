@@ -97,6 +97,15 @@ class SlamSessionPool:
         keys = np.asarray(base_keys, np.uint32)
         assert keys.shape == (self.n_sessions, 2)
         self.base_keys = jnp.asarray(keys)
+        # Flat-fleet fast path (parallel/fleet.py): eligible configs route
+        # the pooled step through unbatched flat scatters, which donation
+        # really does update in place — the vmapped step's batched
+        # scatters copy the whole map state per poll at deployment scale.
+        # Recovery / OG / rollout-mode pools keep the vmapped step.
+        self._use_flat = not (
+            cfg.recovery.enabled or cfg.og.enabled
+            or cfg.cost_mode.startswith("rollout")
+        )
         # Eager per-leaf copies: the jitted init can alias identical
         # all-zero leaves to ONE buffer, which pool_step's donation then
         # rejects ("attempt to donate the same buffer twice").  Unique
@@ -136,7 +145,10 @@ class SlamSessionPool:
         scans = Scan(
             points=jnp.asarray(np.stack(pts)), valid=jnp.asarray(np.stack(vld))
         )
-        self.states, poses, costs = pool_step(
+        step_fn = pool_step
+        if self._use_flat:
+            from ndtpso_slam_tpu.parallel.fleet import fleet_pool_step as step_fn
+        self.states, poses, costs = step_fn(
             self.states, scans, self.base_keys, jnp.asarray(active), self.cfg
         )
         out: Dict[int, Tuple[np.ndarray, float]] = {}
