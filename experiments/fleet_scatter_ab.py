@@ -14,6 +14,16 @@ the axon relay `block_until_ready` alone can return before execution):
   gather+set same array           0.88 ms/step
   drop-mode sentinel ids          0.85 ms/step
 
+Negative result (round 4): a probe of this family measured each
+gather+scatter PASS at ~1.05 ms nearly independent of row width (13
+narrow arrays 13.5 ms vs one [B*C, 24] array 2.3 ms), predicting a big
+win from packing the 13 per-cell field arrays into wide cells/cur/ring
+arrays.  Implemented and measured on the real fleet step, packing LOST:
+8-robot sparse 374 -> 253 scans/s, 2-robot dense 580 -> 450 (bitwise
+parity held).  The isolated pass cost is evidently not a fixed per-op
+overhead at the real step's shapes (wider operands pay more where the
+probe said they would not); the unpacked flat layout ships.
+
 Findings feeding the fleet design:
 1. An UNBATCHED scatter with flat ids (b*C + id) on a scan carry updates
    in place — folding the robot axis into the cell axis removes the
