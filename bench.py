@@ -89,11 +89,13 @@ def main():
         "(frozen-binding modes lose tracking at 0.5 m cells), fast for "
         "multiswarm",
     )
-    ap.add_argument("--early-exit", type=int, default=0, metavar="K",
+    ap.add_argument("--early-exit", type=int, default=None, metavar="K",
                     help="batch config, rollout modes: stop a solve once the "
                     "global best stalls K consecutive iterations (--iters "
-                    "becomes a cap; 0 = the reference's fixed budget). The "
-                    "accuracy gate still applies")
+                    "becomes a cap; 0 = the reference's fixed budget). "
+                    "Default: 4 for turbo batch modes (the headline "
+                    "operating point, accuracy gate asserted in-bench), "
+                    "0 otherwise")
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
         "--config", default="batch",
@@ -189,6 +191,10 @@ def main():
                      "multiswarm": "fast", "recovery": "local_exact"}[args.config]
     if args.particles is None:
         args.particles = 50 if args.config in ("slam", "recovery") else 4096
+    if args.early_exit is None:
+        args.early_exit = (
+            4 if args.config == "batch" and "turbo" in args.mode else 0
+        )
 
     if args.config == "slam":
         return bench_slam(args)
@@ -346,6 +352,7 @@ def main():
         metric = (
             f"scan_match_solves_per_s_per_chip_"
             f"{args.particles}p_{args.iters}i_{args.mode}"
+            + (f"_ee{args.early_exit}" if args.early_exit else "")
         )
         baseline = 625.0  # 10k/s north star / 16 chips
     print(
