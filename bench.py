@@ -193,7 +193,8 @@ def main():
         args.particles = 50 if args.config in ("slam", "recovery") else 4096
     if args.early_exit is None:
         args.early_exit = (
-            4 if args.config == "batch" and "turbo" in args.mode else 0
+            4 if args.config in ("batch", "multiswarm") and "turbo" in args.mode
+            else 0
         )
 
     if args.config == "slam":
@@ -822,6 +823,7 @@ def bench_multiswarm(args):
             interpret=jax.default_backend() != "tpu",
             score_dtype="bf16" if "bf16" in args.mode else "f32",
             rng_mode="native" if "turbo" in args.mode else "threefry",
+            early_exit=args.early_exit,
         ))
     else:
         if args.mode == "fast_matmul":
@@ -859,6 +861,7 @@ def bench_multiswarm(args):
         "metric": (
             f"multiswarm_relocalizations_per_s_{k_swarms}x{args.particles}p_"
             f"{args.iters}i_{args.mode}"
+            + (f"_ee{args.early_exit}" if args.early_exit else "")
         ),
         "value": round(relocs_per_s, 3),
         "unit": "relocs/s",

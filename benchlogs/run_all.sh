@@ -17,13 +17,14 @@ run_t() { t=$1; name=$2; shift 2; \
           NDTPSO_BENCH_TIMEOUT=$t python bench.py "$@" >"$out/$name.json" 2>"$out/$name.log"; \
           echo "=== $name rc=$? $(cat $out/$name.json)"; }
 
-# Config 2 — batched solves (B=256, 4096p x 50i)
+# Config 2 — batched solves (B=256, 4096p x 50i; turbo defaults to ee4)
+run batch_rollout_turbo_ee4           --config batch --mode rollout_turbo
 run batch_rollout_turbo_ee4_sharded1  --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 4
 run batch_rollout_turbo_ee6_sharded1  --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 6
 run batch_rollout_turbo_bf16_ee4_sharded1 --config batch --mode rollout_turbo_bf16 --sharded --devices 1 --early-exit 4
-run batch_rollout_turbo_sharded1      --config batch --mode rollout_turbo --sharded --devices 1
-run batch_rollout_turbo               --config batch --mode rollout_turbo
-run batch_rollout_turbo_bf16          --config batch --mode rollout_turbo_bf16
+run batch_rollout_turbo_sharded1      --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 0
+run batch_rollout_turbo               --config batch --mode rollout_turbo --early-exit 0
+run batch_rollout_turbo_bf16          --config batch --mode rollout_turbo_bf16 --early-exit 0
 run batch_rollout                     --config batch --mode rollout
 run batch_rollout_bf16                --config batch --mode rollout_bf16
 
@@ -43,16 +44,20 @@ run_t 900 slam_fullscale_2robots_r8192_flat --config slam --full-scale --robots 
 run_t 900 slam_fullscale_8robots_r8192_flat --config slam --full-scale --robots 8 --ring-rows 8192 --fleet-mode flat
 run_t 900 slam_fullscale_8robots_r8192      --config slam --full-scale --robots 8 --ring-rows 8192
 run_t 900 slam_soak2400 --config slam --soak 2400 --og
+run_t 900 slam_soak2400_noog --config slam --soak 2400 --reps 2
 
 # Recovery — kidnapped-robot relocalization event latency
 run recovery             --config recovery
 run_t 900 recovery_fullscale --config recovery --full-scale
 
-# Config 4 — multi-swarm relocalization (16 x 4096p x 50i)
-run multiswarm_rollout_turbo      --config multiswarm --mode rollout_turbo
+# Config 4 — multi-swarm relocalization (16 x 4096p x 50i; turbo modes
+# default to --early-exit 4, the headline operating point)
+run multiswarm_rollout_turbo_ee4      --config multiswarm --mode rollout_turbo
+run multiswarm_rollout_turbo_bf16_ee4 --config multiswarm --mode rollout_turbo_bf16
+run multiswarm_rollout_turbo      --config multiswarm --mode rollout_turbo --early-exit 0
+run multiswarm_rollout_turbo_bf16 --config multiswarm --mode rollout_turbo_bf16 --early-exit 0
 run multiswarm_fast               --config multiswarm
 run multiswarm_fast_matmul        --config multiswarm --mode fast_matmul
-run multiswarm_rollout_turbo_bf16 --config multiswarm --mode rollout_turbo_bf16
 
 # Config 5 — virtual-mesh scaling shape (CPU, not TPU numbers)
 for d in 1 2 4 8; do

@@ -195,6 +195,7 @@ def multi_swarm_rollout(
     score_dtype: str = "f32",
     rng_mode: str = "threefry",
     interpret: bool = False,
+    early_exit: int = 0,
 ) -> PsoResult:
     """Island-model multi-swarm through the whole-rollout Pallas kernel.
 
@@ -236,6 +237,7 @@ def multi_swarm_rollout(
         keys, guesses, devs, sten, pts, cfg, map_cfg,
         radius=radius, interpret=interpret,
         score_dtype=score_dtype, rng_mode=rng_mode,
+        early_exit=early_exit,
     )
     exact = cost_mod.ndt_cost(poses, snap, points, valid, map_cfg)  # [K]
     best_cost, best_pose = _select_min(exact, poses)
