@@ -412,6 +412,9 @@ def bench_slam(args):
             else "fast_local" if args.mode == "fast_local_fused"
             else args.mode
         ),
+        solver_early_exit=(
+            args.early_exit if args.mode.startswith("rollout") else 0
+        ),
     )
     t0 = time.time()
     b = args.robots
@@ -555,6 +558,8 @@ def bench_slam(args):
     log(f"{args.reps} reps -> {scans_per_s:.1f} scans/s aggregate over {b} "
         f"robot(s) (LiDAR rate 10 Hz)")
     scale = "_fullscale" if args.full_scale else ""
+    if cfg.solver_early_exit:
+        scale += f"_ee{cfg.solver_early_exit}"
     if args.soak:
         scale = f"_soak{args.soak}"
     if args.window_slots:

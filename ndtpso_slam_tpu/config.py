@@ -235,6 +235,11 @@ class SlamConfig:
     # through the XLA cost modes only (the rollout kernel implements the
     # deployed PSO update rule).
     optimizer: str = "pso"
+    # Rollout cost modes only: stop a solve once its global best has
+    # stalled this many consecutive iterations (0 = the reference's fixed
+    # budget, `core.cpp:78`).  Deterministic per key; the solve can only
+    # return the same or an earlier-stalled best, never a different one.
+    solver_early_exit: int = 0
     dtype: object = jnp.float32
 
 

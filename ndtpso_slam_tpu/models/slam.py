@@ -166,6 +166,7 @@ def _align_rollout(key, guess, deviation, snap, scan, cfg: SlamConfig) -> PsoRes
             radius=cost_mod.DEFAULT_STENCIL_RADIUS,
             interpret=jax.default_backend() != "tpu",
             rng_mode=rng_mode,
+            early_exit=cfg.solver_early_exit,
         )
     else:
         sten, pts = pack_rollout_inputs(nbr, scan.points)
@@ -177,6 +178,7 @@ def _align_rollout(key, guess, deviation, snap, scan, cfg: SlamConfig) -> PsoRes
             interpret=jax.default_backend() != "tpu",
             score_dtype="bf16" if "bf16" in cfg.cost_mode else "f32",
             rng_mode=rng_mode,
+            early_exit=cfg.solver_early_exit,
         )
     return PsoResult(pose=pose[0].astype(guess.dtype), cost=c[0])
 

@@ -564,6 +564,7 @@ def _rollout_local_kernel(
     p_pad: int,
     native_rng: bool = False,
     exp_mode: str = "exp",
+    early_exit: int = 0,
 ):
     """Whole-solve PSO with PER-PARTICLE exact stencil re-binning.
 
@@ -755,7 +756,29 @@ def _rollout_local_kernel(
         return pos, vel, pbest, pbest_cost, gbest, gcost, w * f32(cfg.w_damping)
 
     init = (pos, jnp.zeros_like(pos), pos, cost, gbest, gcost, f32(cfg.w))
-    *_, gbest, gcost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
+    if early_exit > 0:
+        # Same converged-swarm early exit as the frozen kernel: the fixed
+        # iteration budget becomes a cap; stale counter as int32 [1, 1]
+        # (Mosaic scalarizes int32 extractions only).
+        def ee_cond(carry):
+            i, stale, *_ = carry
+            return jnp.logical_and(i < cfg.iterations,
+                                   stale[0, 0] < early_exit)
+
+        def ee_body(carry):
+            i, stale, inner = carry
+            gcost_before = inner[5]
+            inner = body(i, inner)
+            imp = (inner[5] < gcost_before).astype(jnp.int32)
+            stale = jnp.where(imp > 0, 0, stale + 1)
+            return i + 1, stale, inner
+
+        _, _, (_, _, _, _, gbest, gcost, _) = jax.lax.while_loop(
+            ee_cond, ee_body,
+            (jnp.int32(0), jnp.zeros((1, 1), jnp.int32), init),
+        )
+    else:
+        *_, gbest, gcost, _ = jax.lax.fori_loop(0, cfg.iterations, body, init)
 
     res_row = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     res8 = jnp.where(res_row < 3, gbest, gcost)
@@ -806,7 +829,7 @@ def pack_rollout_local_inputs(nbr, points):
     jax.jit,
     static_argnames=(
         "cfg", "map_cfg", "radius", "interpret", "rng_mode", "grid_block",
-        "exp_mode",
+        "exp_mode", "early_exit",
     ),
 )
 def pso_rollout_local(
@@ -822,6 +845,7 @@ def pso_rollout_local(
     rng_mode: str = "threefry",
     grid_block: int | None = None,
     exp_mode: str | None = None,
+    early_exit: int = 0,
 ):
     """B whole-solve PSO rollouts with per-particle exact stencil rebinding
     (`_rollout_local_kernel`) — the kernel for the reference's own
@@ -847,7 +871,7 @@ def pso_rollout_local(
         block = functools.partial(
             pso_rollout_local, cfg=cfg, map_cfg=map_cfg, radius=radius,
             interpret=interpret, rng_mode=rng_mode, grid_block=None,
-            exp_mode=exp_mode,
+            exp_mode=exp_mode, early_exit=early_exit,
         )
         poses, costs = jax.lax.map(
             lambda a: block(a[0], a[1], a[2], a[3], a[4]),
@@ -871,6 +895,7 @@ def pso_rollout_local(
         p_pad=p_pad,
         native_rng=rng_mode == "native",
         exp_mode=exp_mode,
+        early_exit=early_exit,
     )
     out = pl.pallas_call(
         kern,

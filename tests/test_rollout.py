@@ -426,3 +426,27 @@ def test_rollout_early_exit_semantics(world):
     # An early-exited best can only be the same or worse than the full
     # budget's (the loop monotonically improves gbest).
     assert (np.asarray(c2) >= np.asarray(c0) - 1e-6).all()
+
+
+def test_rollout_local_early_exit_cap_is_bitwise(world):
+    """early_exit >= iterations can never trip before the budget on the
+    LOCAL kernel either — bitwise the fixed-budget solve."""
+    from ndtpso_slam_tpu.models import cost as cost_mod
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_local_inputs, pso_rollout_local,
+    )
+
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=2)
+    cfg = cfgm.PSOConfig(iterations=8, population=64)
+    nbrs = jax.vmap(
+        lambda g, s, p, v: cost_mod.bind_neighborhood(
+            g, s, p, v, MAP_CFG, radius=cost_mod.DEFAULT_STENCIL_RADIUS
+        )
+    )(jnp.asarray(guesses), snaps, jnp.asarray(points), jnp.asarray(valid))
+    sten, pts = jax.vmap(pack_rollout_local_inputs)(nbrs, jnp.asarray(points))
+    kw = dict(cfg=cfg, map_cfg=MAP_CFG,
+              radius=cost_mod.DEFAULT_STENCIL_RADIUS, interpret=True)
+    p0, c0 = pso_rollout_local(keys, guesses, devs, sten, pts, **kw)
+    p1, c1 = pso_rollout_local(keys, guesses, devs, sten, pts, early_exit=8, **kw)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
