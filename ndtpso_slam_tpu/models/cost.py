@@ -264,11 +264,16 @@ class NeighborhoodBind(struct.PyTreeNode):
 
 
 # Above this cell count the O(C) stencil-table roll loses to the direct
-# [N·K2]-row gather (row count independent of C): measured on the v5e at
-# N=384, K2=25 — roll 1.5 ms vs gather 1.9 ms at 16k cells, but 3.0-4.2 ms
-# vs 1.3-1.4 ms at 90k-360k cells (experiments/bind_gather_ab.py).  The
-# reference's deployment default is 360k cells, so its binds go direct.
-GATHER_BIND_MIN_CELLS = 32768
+# [N·K2]-row gather (row count independent of C).  Standalone binds
+# measured roll 1.5 ms vs gather 1.9 ms at 16k cells and 3.0-4.2 vs
+# 1.3-1.4 ms at 90k-360k (experiments/bind_gather_ab.py) — but INSIDE the
+# sequential scan loop the roll is pathological well below that
+# crossover: the 64 m/16k-cell SLAM row measured 164 scans/s with the
+# roll vs 1027 with the gather (the "test scale slower than deployment
+# scale" anomaly of round 3, root-caused).  The threshold therefore sits
+# just above the relocalization-map class (4096 cells), where the roll's
+# table is ~100 KB and measured healthy in the batch/multiswarm rows.
+GATHER_BIND_MIN_CELLS = 8192
 
 
 def bind_neighborhood(
