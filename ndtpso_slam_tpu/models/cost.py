@@ -323,6 +323,14 @@ def bind_neighborhood(
     nix = ix[:, None] + jnp.asarray(di)[None, :]  # [N, K2]
     niy = iy[:, None] + jnp.asarray(dj)[None, :]
     in_grid = (nix >= 0) & (nix < w_cells) & (niy >= 0) & (niy < w_cells)
+    # A point whose ANCHOR cell is outside the grid is out-of-map at the
+    # anchor pose: its whole stencil is treated as unbuilt (score 0, the
+    # out-of-map convention).  Without this the two strategies disagreed
+    # at the frame border — the roll reads neighbors relative to the
+    # CLIPPED anchor row (wrong cells), the gather reads true clipped
+    # neighbors — and results depended on the strategy switch.
+    anchor_in = (ix >= 0) & (ix < w_cells) & (iy >= 0) & (iy < w_cells)
+    in_grid = in_grid & anchor_in[:, None]
     if strategy == "auto":
         strategy = (
             "gather"

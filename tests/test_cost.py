@@ -252,3 +252,35 @@ def test_patch_stencil_matches_full_roll():
         b_full = cost_mod.bind_points_local(anchor, full, scan, big)
         b_patch = cost_mod.bind_points_local(anchor, patch, scan, cfg_p)
         np.testing.assert_array_equal(np.asarray(b_full.w), np.asarray(b_patch.w))
+
+
+def test_bind_neighborhood_strategies_agree():
+    """'gather' and 'roll' produce identical `built` and identical stats on
+    every built lane (the auto strategy switch must never change results —
+    cost.py:GATHER_BIND_MIN_CELLS)."""
+    state, _, scan = _build_pair(seed=7)
+    snap = ndt_map.snapshot(state, CFG)
+    valid = np.ones(len(scan), bool)
+    valid[3] = False
+    for anchor in (np.float32([0.1, -0.05, 0.04]), np.float32([2.0, 1.5, -0.3])):
+        roll = cost_mod.bind_neighborhood(anchor, snap, scan, valid, CFG,
+                                          strategy="roll")
+        gat = cost_mod.bind_neighborhood(anchor, snap, scan, valid, CFG,
+                                         strategy="gather")
+        np.testing.assert_array_equal(np.asarray(roll.built),
+                                      np.asarray(gat.built))
+        b = np.asarray(roll.built)
+        assert b.any()
+        for name in ("mean", "icov"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(roll, name))[b],
+                np.asarray(getattr(gat, name))[b],
+                err_msg=f"{name} diverged between bind strategies",
+            )
+        # and identical solve-level costs (unbuilt-lane garbage is masked)
+        poses = (anchor + np.random.RandomState(1).uniform(-0.3, 0.3, (16, 3))
+                 ).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(cost_mod.stencil_exact_cost(poses, roll, scan, CFG)),
+            np.asarray(cost_mod.stencil_exact_cost(poses, gat, scan, CFG)),
+        )
