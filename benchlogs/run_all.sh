@@ -37,6 +37,7 @@ run slam_fullscale_og    --config slam --full-scale --og
 run slam_fullscale_rollout_local       --config slam --full-scale --mode rollout_local
 run slam_fullscale_rollout_local_turbo --config slam --full-scale --mode rollout_local_turbo
 run slam_8robots         --config slam --robots 8
+run slam_8robots_flat    --config slam --robots 8 --fleet-mode flat
 
 # Fleet — flat path (robot axis folded into the cell axis; no copy wall)
 run_t 900 slam_fullscale_2robots_flat       --config slam --full-scale --robots 2 --fleet-mode flat
