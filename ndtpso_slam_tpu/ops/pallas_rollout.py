@@ -581,15 +581,19 @@ def _rollout_local_kernel(
     Layout is transposed relative to the frozen kernel: arrays are [N, P]
     (points on sublanes, particles on lanes), because every quantity is now
     per-(point, particle).  The stencil table arrives offset-major
-    ([K2, N, 8], `pack_rollout_local_inputs`) and the select runs as a
-    `lax.fori_loop` over the 25 offsets whose carry is just TWO [N, P]
-    arrays (the quadratic-form accumulator and the penalty accumulator):
-    per offset, the [N, 1] stat columns broadcast across particle lanes
-    into ~14 VPU FMAs.  An earlier fully-unrolled stat-select draft kept
-    ~50 [N, P] temporaries live and blew Mosaic's scoped-vmem stack
-    (23 MB at the 16 MB default — and the demand *scaled with the cap*,
-    47 MB at 32); the loop form needs ~2 MB.  No matmul anywhere: the
-    math is elementwise per (point, particle); the MXU has no role here.
+    ([K2, N, 8], `pack_rollout_local_inputs`) and the select iterates the
+    25 offsets with a carry of just TWO [N, P] arrays (the quadratic-form
+    accumulator and the penalty accumulator): per offset, the [N, 1] stat
+    columns broadcast across particle lanes into ~14 VPU FMAs.  The loop
+    ships FULLY UNROLLED (`fori_loop(..., unroll=25)`; Mosaic supports
+    only unroll=1 or full) under a 64 MB scoped-vmem cap — measured +7%
+    over the rolled form (665 vs 621 full-scale scans/s).  Two rejected
+    alternatives, both measured: a 6-accumulator stat-select carry (568 —
+    the wide carry costs more than the saved FMAs), and an unrolled
+    stat-select draft whose ~50 live [N, P] temporaries blew the scoped-
+    vmem stack at ANY cap (23 MB demanded at the 16 MB default, 47 at
+    32 — the demand scales with the cap).  No matmul anywhere: the math
+    is elementwise per (point, particle); the MXU has no role here.
 
     Exactness: z accumulates sel·quadform_k (adds exact zeros for
     unselected offsets — stats are zeroed at pack time so no NaN/inf can
