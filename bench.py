@@ -133,7 +133,7 @@ def main():
     ap.add_argument("--patch-range", type=float, default=0.0, metavar="M",
                     help="slam full-scale: force the dynamic-slice stencil "
                     "patch covering this laser range; 0 (default) = auto "
-                    "binder strategy (direct row gather above 32k cells — "
+                    "binder strategy (direct row gather above 8k cells — "
                     "fastest measured; cost.py:bind_neighborhood)")
     ap.add_argument("--soak", type=int, default=None, metavar="T",
                     help="slam config: long-soak mode — T scans (1000+) on a "
@@ -628,15 +628,11 @@ def bench_recovery(args):
         scan=cfgm.ScanConfig(max_beams=args.pad_beams),
         cost_mode="local_exact",
     )
-    # Full scale also thins the stage-1 sweep (grid_beam_stride=2): the
-    # sweep is gather-row-bound and dominates event latency; the in-bench
-    # relocalization accuracy gate below validates the thinned ranking.
-    cfg_rec = dc.replace(
-        base,
-        recovery=cfgm.RecoveryConfig(
-            enabled=True, grid_beam_stride=2 if args.full_scale else 1
-        ),
-    )
+    # Pure shipped defaults: grid_beam_stride=0 (auto) resolves to 2 at
+    # full scale (sweep is gather-row-bound and dominates event latency),
+    # 1 at test scale; the in-bench relocalization accuracy gate below
+    # validates whatever the auto rule picked.
+    cfg_rec = dc.replace(base, recovery=cfgm.RecoveryConfig(enabled=True))
 
     t0 = time.time()
     cpu = jax.devices("cpu")[0]

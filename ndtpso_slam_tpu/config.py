@@ -144,6 +144,11 @@ class OccupancyGridConfig:
     enabled: bool = True
 
 
+# RecoveryConfig.grid_beam_stride = 0 (auto) resolves to 2 at/above this
+# many map cells (the reference's 300 m / 0.5 m deployment is 360k), 1 below.
+RECOVERY_AUTO_STRIDE_MIN_CELLS = 65536
+
+
 @dataclasses.dataclass(frozen=True)
 class RecoveryConfig:
     """Tracking-loss detection + multi-swarm relocalization.
@@ -182,11 +187,16 @@ class RecoveryConfig:
     # rows, ~60 ms of the measured event latency at stride 1); thinning
     # only affects the σ-inflated basin RANKING — stages 2/3 rescore
     # hypotheses with every beam and the accept decision is always the
-    # full exact cost.  Default 1 (exhaustive): in beam-sparse worlds a
-    # thinned sweep can rank a false basin first (observed on the 6-box
-    # test fixture).  2 is validated per-run by the full-scale recovery
-    # bench, whose in-bench accuracy gate covers the thinned sweep.
-    grid_beam_stride: int = 1
+    # full exact cost.  Default 0 = AUTO: stride 1 (exhaustive) below
+    # RECOVERY_AUTO_STRIDE_MIN_CELLS map cells, stride 2 at deployment
+    # scale — the shipped full-scale event measured 136 ms at stride 1
+    # (over one 10 Hz period) vs ~77 ms at stride 2, and the full-scale
+    # recovery bench's in-bench accuracy gate validates the thinned
+    # ranking per run.  Explicit 1 forces exhaustive everywhere: in
+    # beam-sparse worlds a thinned sweep can rank a false basin first
+    # (observed on the 6-box test fixture — small maps keep stride 1
+    # under auto for exactly that reason).
+    grid_beam_stride: int = 0
     # Stage 2: the top-K grid candidates (plus the last pose and the failed
     # align) are refined by a multi-swarm PSO with a sub-grid-spacing radius.
     k_hypotheses: int = 8

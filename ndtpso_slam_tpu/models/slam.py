@@ -298,8 +298,15 @@ def _relocalize(key, snap, scan, last_pose, failed_pose, cfg: SlamConfig):
     # Stage-1 beam subsampling (rc.grid_beam_stride): the sweep is gather-
     # row-bound (G x N rows); the inflated-cost basin ranking it produces
     # is insensitive to beam thinning, and every later stage uses all
-    # beams.  Static stride keeps shapes compile-time.
-    stride = max(int(rc.grid_beam_stride), 1)
+    # beams.  Static stride keeps shapes compile-time.  0 = auto: thin to
+    # stride 2 at deployment map sizes so the shipped default fits one
+    # 10 Hz period (136 ms at stride 1 vs ~77 ms at stride 2 at 360k
+    # cells), stay exhaustive on small maps (config.py:RecoveryConfig).
+    from ndtpso_slam_tpu.config import RECOVERY_AUTO_STRIDE_MIN_CELLS
+
+    stride = int(rc.grid_beam_stride)
+    if stride <= 0:
+        stride = 2 if cfg.map.num_cells >= RECOVERY_AUTO_STRIDE_MIN_CELLS else 1
     s_points = scan.points[::stride]
     s_valid = scan.valid[::stride]
     coarse = lambda poses: cost_mod.ndt_cost(

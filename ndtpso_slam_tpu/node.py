@@ -72,7 +72,7 @@ class NodeConfig:
     recovery_hypotheses: int = 8
     # Max laser range the stencil patch must cover (m); 0 (default) lets
     # the binder pick its strategy automatically (cost.py:bind_neighborhood
-    # — direct [N*K2]-row gather above 32k cells, table roll below; the
+    # — direct [N*K2]-row gather above GATHER_BIND_MIN_CELLS (8k), roll below; the
     # gather made the 360k-cell patch/no-patch debate moot: it beats both,
     # 280 -> ~690 scans/s full-scale).  >0 forces the dynamic-slice patch
     # ROLL — only useful when transient HBM must be capped; measured

@@ -800,13 +800,16 @@ def pack_rollout_local_inputs(nbr, points):
     f32 = jnp.float32
     n = points.shape[0]
     k2 = nbr.mean.shape[1]
-    bf = nbr.built.astype(f32)[..., None]  # [N, K2, 1]
+    built = nbr.built[..., None]  # [N, K2, 1] bool
+    # True select, not multiplication: unbuilt lanes can hold inf/NaN stats
+    # (regularized_inverse's degenerate-cell convention) and 0*inf = NaN
+    # would leak through the kernel's additive select.
     sten = jnp.moveaxis(
         jnp.concatenate(
             [
-                nbr.mean.astype(f32) * bf,
-                nbr.icov.astype(f32) * bf,
-                (1.0 - bf) * f32(_BIG),
+                jnp.where(built, nbr.mean.astype(f32), 0.0),
+                jnp.where(built, nbr.icov.astype(f32), 0.0),
+                jnp.where(built, 0.0, f32(_BIG)),
                 jnp.zeros((n, k2, 2), f32),
             ],
             axis=-1,

@@ -151,6 +151,7 @@ def _solve_batch_impl(
                 keys, guesses, deviations, sten, pts, pso_cfg, map_cfg,
                 radius=STENCIL_RADIUS, interpret=interpret,
                 rng_mode=rng_mode, grid_block=ROLLOUT_GRID_BLOCK,
+                early_exit=early_exit,
             )
         else:
             sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, points)

@@ -100,7 +100,23 @@ def restore(path: str, like: Any, allow_partial: bool = False) -> Any:
 
     # v1 fallback: leaf_NNNN-indexed, no stable structural descriptor (its
     # __treedef__ was a str(treedef) repr, not comparable across JAX
-    # versions) — validate by leaf count + shape/dtype only.
+    # versions) — validate by leaf count + shape/dtype.  When the file DOES
+    # carry a __treedef__, still compare it: a mismatch under a matching
+    # leaf count may mean a structurally different pytree (or just a repr
+    # format change from a JAX upgrade, which is indistinguishable), so it
+    # warns rather than silently loading.
+    if "__treedef__" in data:
+        saved_td = bytes(data["__treedef__"]).decode()
+        if saved_td != str(treedef):
+            import warnings
+
+            warnings.warn(
+                "v1 checkpoint __treedef__ does not match the restoring "
+                f"state's pytree structure:\n  saved: {saved_td}\n"
+                f"  restoring: {str(treedef)}\n"
+                "(may be a JAX treedef-repr format change; proceeding on "
+                "leaf count + shape/dtype validation only)"
+            )
     n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
     if n_saved != len(leaves):
         raise ValueError(

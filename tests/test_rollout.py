@@ -450,3 +450,40 @@ def test_rollout_local_early_exit_cap_is_bitwise(world):
     p1, c1 = pso_rollout_local(keys, guesses, devs, sten, pts, early_exit=8, **kw)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_solve_batch_forwards_early_exit_to_rollout_local(world):
+    """solve_batch(cost_mode='rollout_local', early_exit=K) must actually
+    forward K to the local kernel (it used to silently run the fixed
+    budget): the batch result equals a direct pso_rollout_local call with
+    the same K, and a tight K differs from the K=0 fixed-budget run."""
+    from ndtpso_slam_tpu.models import cost as cost_mod
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_local_inputs, pso_rollout_local,
+    )
+
+    keys, guesses, devs, snaps, points, valid = _batch(world, b=3)
+    cfg = cfgm.PSOConfig(iterations=12, population=64)
+    nbrs = jax.vmap(
+        lambda g, s, p, v: cost_mod.bind_neighborhood(
+            g, s, p, v, MAP_CFG, radius=cost_mod.DEFAULT_STENCIL_RADIUS
+        )
+    )(jnp.asarray(guesses), snaps, jnp.asarray(points), jnp.asarray(valid))
+    sten, pts = jax.vmap(pack_rollout_local_inputs)(nbrs, jnp.asarray(points))
+    direct = lambda k: pso_rollout_local(
+        keys, guesses, devs, sten, pts, cfg, MAP_CFG,
+        radius=cost_mod.DEFAULT_STENCIL_RADIUS, interpret=True, early_exit=k,
+    )
+    batch = lambda k: mesh_mod.solve_batch(
+        keys, guesses, devs, snaps, points, valid, MAP_CFG, cfg,
+        cost_mode="rollout_local", early_exit=k,
+    )
+    r1 = batch(1)
+    pd, cd = direct(1)
+    np.testing.assert_array_equal(np.asarray(r1.pose), np.asarray(pd))
+    np.testing.assert_array_equal(np.asarray(r1.cost), np.asarray(cd))
+    r0 = batch(0)
+    assert not np.array_equal(np.asarray(r1.cost), np.asarray(r0.cost)), (
+        "early_exit=1 produced the fixed-budget result on every solve — "
+        "the flag is not reaching the kernel"
+    )
