@@ -22,10 +22,16 @@ trajectories reproduce solo runs exactly — asserted in
 
 Scope: the performance path for the reference's one-process-per-LiDAR
 deployment DP (`launch/lidar_front.launch:2,11-14`) at fleet scale.
-Recovery (`lax.cond` degenerates to both-branches under batching) and the
-occupancy raster keep using `run_offline_batch`; the Pallas rollout modes
-are not vmappable — use the XLA cost modes (the deployment default
-`local_exact` included).
+The Pallas rollout modes run as ONE kernel call with B = robots
+(`_align_rollout_fleet` — the kernel grid is already ``(B,)``, so batching
+robots means packing per-robot stencils, not vmapping the kernel).
+Recovery: the in-step `lax.cond` branch degenerates to both-branches under
+batching, so fleet recovery is *host-escalated* — the step quarantines a
+lost robot's scan out of its map and `relocalize_fleet_robot` runs the solo
+3-stage relocalization on that robot's state slice between polls
+(`SlamSessionPool` does this automatically).  The occupancy raster keeps
+using `run_offline_batch` (or raster per robot offline from the exported
+map state).
 
 Reference semantics preserved: `ndtcell.cpp:21-68` ingestion/build,
 `ndtframe.cpp:187-198` update, per-node state isolation of the multi-LiDAR
@@ -218,6 +224,92 @@ def fleet_build_touched(
     )
 
 
+def _align_rollout_fleet(
+    keys: jnp.ndarray,  # [B, 2] uint32
+    astates: AlignState,  # [B]-stacked
+    snaps,  # MapSnapshot stacked [B, C, ...]
+    scan_t: Scan,  # [B, N, ...]
+    guesses: jnp.ndarray,  # [B, 3]
+    cfg: SlamConfig,
+):
+    """Batched `align` for the Pallas rollout cost modes: ONE kernel call
+    with B = robots (the kernel's grid is already ``(B,)``), instead of a
+    per-robot vmap that the pallas_call cannot batch over.  Mirrors
+    `models.slam.align` exactly — adaptive deviation (`ndtframe.cpp:253`),
+    the kernel dispatch of `_align_rollout`, and the exact-cost re-score —
+    so a fleet robot's solve is bit-identical to its solo `run_offline`
+    (the kernel treats grid steps independently).  This is what runs the
+    reference's multi-LiDAR deployment (`launch/lidar_front.launch:2,11-14`)
+    on the flagship kernels."""
+    from ndtpso_slam_tpu.models import cost as cost_mod
+    from ndtpso_slam_tpu.models.pso import PsoResult
+    from ndtpso_slam_tpu.ops.pallas_rollout import (
+        pack_rollout_inputs,
+        pack_rollout_local_inputs,
+        pso_rollout,
+        pso_rollout_local,
+    )
+    from ndtpso_slam_tpu.parallel.mesh import ROLLOUT_GRID_BLOCK
+
+    if cfg.optimizer != "pso":
+        raise ValueError(
+            "rollout cost modes implement the deployed PSO update rule "
+            f"only; optimizer={cfg.optimizer!r} needs an XLA cost mode"
+        )
+    n = scan_t.points.shape[1]
+    if n % 128 != 0:
+        raise ValueError(
+            f"rollout cost modes need a lane-aligned scan buffer: padded "
+            f"beam count {n} must be a multiple of 128 (set scan.max_beams "
+            "accordingly)"
+        )
+    dtype = guesses.dtype
+    radius = cost_mod.DEFAULT_STENCIL_RADIUS
+    first_dev = jnp.asarray(cfg.first_deviation, dtype)
+    adaptive = jnp.abs(
+        astates.pose_diff * jnp.asarray(cfg.deviation_scale, dtype)
+    )
+    deviation = jnp.where((astates.iter < 2)[:, None], first_dev[None], adaptive)
+    nbrs = jax.vmap(
+        lambda g, s, p, v: cost_mod.bind_neighborhood(
+            g, s, p, v, cfg.map, radius=radius
+        )
+    )(guesses, snaps, scan_t.points, scan_t.valid)
+    interpret = jax.default_backend() != "tpu"
+    rng_mode = "native" if "turbo" in cfg.cost_mode else "threefry"
+    g32 = guesses.astype(jnp.float32)
+    d32 = deviation.astype(jnp.float32)
+    if "local" in cfg.cost_mode:
+        sten, pts = jax.vmap(pack_rollout_local_inputs)(nbrs, scan_t.points)
+        pose, _ = pso_rollout_local(
+            keys, g32, d32, sten, pts, cfg.pso, cfg.map, radius=radius,
+            interpret=interpret, rng_mode=rng_mode,
+            grid_block=ROLLOUT_GRID_BLOCK, early_exit=cfg.solver_early_exit,
+        )
+    else:
+        sten, pts = jax.vmap(pack_rollout_inputs)(nbrs, scan_t.points)
+        pose, _ = pso_rollout(
+            keys, g32, d32, sten, pts, cfg.pso, cfg.map, radius=radius,
+            interpret=interpret,
+            score_dtype="bf16" if "bf16" in cfg.cost_mode else "f32",
+            rng_mode=rng_mode, grid_block=ROLLOUT_GRID_BLOCK,
+            early_exit=cfg.solver_early_exit,
+        )
+    pose = pose.astype(dtype)
+    # Exact-cost re-score of the winning poses (align's fast-mode contract:
+    # the per-scan cost is always the true NDT objective) — one batched
+    # single-pose gather eval per robot.
+    exact = jax.vmap(
+        lambda p, sn, pt, v: cost_mod.ndt_cost(p[None], sn, pt, v, cfg.map)[0]
+    )(pose, snaps, scan_t.points, scan_t.valid)
+    new_astates = AlignState(
+        prev_pose=pose,
+        pose_diff=pose - astates.prev_pose,
+        iter=astates.iter + 1,
+    )
+    return new_astates, PsoResult(pose=pose, cost=exact)
+
+
 def _fleet_step(
     states: SlamState, scan_t: Scan, keys: jnp.ndarray, cfg: SlamConfig,
     active: jnp.ndarray | None = None,
@@ -237,9 +329,16 @@ def _fleet_step(
     if active is None:
         active = jnp.ones((b,), bool)
     snaps = jax.vmap(lambda m: ndt_map.snapshot(m, cfg.map))(states.map)
-    new_astates, results = jax.vmap(
-        lambda k, a, sn, sc, g: align((k[0], k[1]), a, sn, sc, g, cfg)
-    )(keys, states.align, snaps, scan_t, states.pose)
+    if cfg.cost_mode.startswith("rollout"):
+        # One Pallas kernel call with B = robots (grid is already (B,));
+        # vmapping the B=1 align would try to batch the pallas_call itself.
+        new_astates, results = _align_rollout_fleet(
+            keys, states.align, snaps, scan_t, states.pose, cfg
+        )
+    else:
+        new_astates, results = jax.vmap(
+            lambda k, a, sn, sc, g: align((k[0], k[1]), a, sn, sc, g, cfg)
+        )(keys, states.align, snaps, scan_t, states.pose)
     keep = first | ~active  # [B] sessions whose pose/bookkeeping stay put
     pose = jnp.where(keep[:, None], states.pose, results.pose)
     astate = jax.tree_util.tree_map(
@@ -257,6 +356,49 @@ def _fleet_step(
         states.fitness,
     )
 
+    lost = jnp.zeros_like(active)
+    if cfg.recovery.enabled:
+        # Fleet recovery is two-tier (module docstring): the maskable parts
+        # of slam_step's recovery run HERE, fully batched — dropout
+        # dead-reckoning and quarantine (a lost robot's scan must not
+        # corrupt its map) — while the expensive relocalization sweep is
+        # host-escalated per lost robot (`relocalize_fleet_robot`): a
+        # batched `lax.cond` would execute the 18k-pose sweep for every
+        # robot on every step.
+        rc = cfg.recovery
+        degraded = (~first) & active & (n_valid < rc.min_valid_beams)
+        lost = (
+            (~first)
+            & active
+            & (~degraded)
+            & (states.align.iter >= 2)
+            & (fitness < jnp.asarray(rc.fitness_threshold, dtype))
+        )
+        dead_pose = states.pose + states.align.pose_diff
+        pose = jnp.where(degraded[:, None], dead_pose, pose)
+        # Dead-reckoned steps keep the previous velocity estimate; lost
+        # robots keep the failed align's bookkeeping (the host-side
+        # relocalization rewrites it on accept).
+        astate = AlignState(
+            prev_pose=jnp.where(
+                (first | ~active)[:, None], astate.prev_pose, pose
+            ),
+            pose_diff=jnp.where(
+                degraded[:, None], states.align.pose_diff, astate.pose_diff
+            ),
+            iter=astate.iter,
+        )
+        # fitness is what the host polls for lost detection, so a degraded
+        # (sensor-dropout) robot keeps its previous fitness — it must not
+        # look lost to the escalation loop.
+        fitness = jnp.where(degraded, states.fitness, fitness)
+
+    # `consumed` robots advanced their clock this step; `active` (possibly
+    # shrunk by quarantine) gates map ingestion only.
+    consumed = active
+    if cfg.recovery.enabled:
+        active = active & ~degraded & ~lost  # quarantine map ingestion
+
     wpts = jax.vmap(transform_points)(scan_t.points, pose)
     idx, inb = cell_index(
         wpts, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
@@ -264,33 +406,43 @@ def _fleet_step(
     )
     ingest = scan_t.valid & active[:, None]
     ids = jnp.where(ingest & inb, idx, cfg.map.num_cells)
-    prev = jnp.where(active[:, None], states.prev_ids, cfg.map.num_cells)
+    # prev rebuild is keyed on `consumed`, not the quarantine-shrunk mask:
+    # a quarantined robot ingests nothing, but cells its LAST build rotated
+    # still need their stale-slot-eviction rebuild (slam_step's degraded
+    # path does the same — a pure rebuild, no new data).
+    prev = jnp.where(consumed[:, None], states.prev_ids, cfg.map.num_cells)
     new_map = fleet_add_points(states.map, cfg.map, wpts, ingest)
     new_map = fleet_build_touched(
         new_map, cfg.map, jnp.concatenate([ids, prev], axis=1)
     )
     new_states = SlamState(
         map=new_map, align=astate, og=None, pose=pose,
-        step=states.step + active.astype(states.step.dtype),
+        step=states.step + consumed.astype(states.step.dtype),
         fitness=fitness,
         recoveries=states.recoveries,
-        prev_ids=jnp.where(active[:, None], ids, states.prev_ids),
+        # Quarantined robots consumed a scan but touched no cells: ids is
+        # all-sentinel for them (ingest is masked), matching slam_step's
+        # degraded-path prev_ids.
+        prev_ids=jnp.where(consumed[:, None], ids, states.prev_ids),
     )
-    return new_states, pose, cost
+    return new_states, pose, cost, lost
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def fleet_pool_step(
     states: SlamState, scans: Scan, base_keys: jnp.ndarray,
     active: jnp.ndarray, cfg: SlamConfig,
-) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Streaming-pool step through the flat-fleet update (the
-    `SlamSessionPool` fast path).  Same contract as `sessions.pool_step`;
+    `SlamSessionPool` fast path).  Same contract as `sessions.pool_step`
+    plus a trailing ``lost`` [B] bool (always all-False with recovery off);
     donation + unbatched flat scatters update the pool's map state in
     place across polls (the vmapped pool_step's donation could not beat
     the batched-scatter lowering — measured 11.8 scans/s at deployment
-    scale)."""
-    _check_fleet_cfg(cfg)
+    scale).  With ``cfg.recovery.enabled`` the step dead-reckons dropouts
+    and quarantines lost robots' scans; the caller escalates robots
+    flagged ``lost`` to :func:`relocalize_fleet_robot`."""
+    _check_fleet_cfg(cfg, allow_recovery=True)
     keys = jax.vmap(
         lambda bk, st: jnp.stack(
             rng.threefry2x32(
@@ -299,16 +451,107 @@ def fleet_pool_step(
             )
         )
     )(jnp.asarray(base_keys, jnp.uint32), states.step)
-    new_states, pose, cost = _fleet_step(states, scans, keys, cfg, active)
-    return new_states, pose, cost
+    return _fleet_step(states, scans, keys, cfg, active)
 
 
-def _check_fleet_cfg(cfg: SlamConfig) -> None:
-    if cfg.recovery.enabled:
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def relocalize_fleet_robot(
+    states: SlamState,  # stacked [B] fleet state (donated)
+    idx: jnp.ndarray,  # [] int32 robot index
+    scan: Scan,  # [N, ...] the scan the step quarantined for this robot
+    key: jnp.ndarray,  # [2] uint32
+    cfg: SlamConfig,
+) -> Tuple[SlamState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Host-escalated relocalization of ONE lost robot in a fleet.
+
+    A kidnapped robot in a fleet must relocalize without dragging the other
+    B-1 robots through the 3-stage sweep (`models/slam.py:_relocalize`) —
+    a batched `lax.cond` executes both branches for every robot.  So the
+    fleet step only *flags* lost robots (and quarantines their scans), and
+    the host calls this between polls: it slices the robot's map out of the
+    stacked state, runs the identical solo relocalization, and — only if
+    the relocalized pose beats the failed align's exact cost, the same
+    accept bar as `slam_step` — adopts the pose and ingests the quarantined
+    scan at the corrected pose via the flat one-robot-masked map update.
+    On reject everything stays quarantined (pose kept, scan dropped).
+
+    Returns ``(states', pose [3], cost [], accepted [])``.  All per-robot
+    writes are dynamic-slice updates / sentinel-masked flat scatters, so
+    donation keeps the fleet state in place; the other robots' rows are
+    untouched bitwise.  Capability counterpart of `slam_step`'s recovery
+    branch (`models/slam.py:268-399`); the reference has no recovery at all
+    (SURVEY §5 'failure detection: none').
+    """
+    from ndtpso_slam_tpu.models.slam import _relocalize
+
+    b = states.fitness.shape[0]
+    dtype = states.pose.dtype
+    idx = jnp.asarray(idx, jnp.int32)
+    map_i = jax.tree_util.tree_map(lambda x: x[idx], states.map)
+    snap = ndt_map.snapshot(map_i, cfg.map)
+    last_pose = states.pose[idx]
+    rpose, rcost = _relocalize(
+        (key[0], key[1]), snap, scan, last_pose, last_pose, cfg
+    )
+    # The step stored fitness = -exact_cost / n_valid for THIS scan, so the
+    # failed align's exact cost (slam_step's accept bar) reconstructs
+    # exactly from the state.
+    n_valid = jnp.sum(scan.valid)
+    nv = jnp.maximum(n_valid, 1).astype(dtype)
+    cur_cost = -states.fitness[idx] * nv
+    accept = rcost < cur_cost
+    pose = jnp.where(accept, rpose, last_pose)
+    cost = jnp.where(accept, rcost, cur_cost)
+
+    # Ingest the quarantined scan at the corrected pose (accepted only):
+    # the flat update with a one-robot row mask writes only robot idx's
+    # cells, in place.
+    rowmask = (jnp.arange(b) == idx) & accept  # [B]
+    wpts_i = transform_points(scan.points, pose)  # [N, 2]
+    cidx, inb = cell_index(
+        wpts_i, size_m=cfg.map.size_m, cell_side_m=cfg.map.cell_side_m,
+        cells_per_side=cfg.map.cells_per_side,
+    )
+    ids_i = jnp.where(scan.valid & inb, cidx, cfg.map.num_cells)  # [N]
+    wpts_b = jnp.broadcast_to(wpts_i[None], (b,) + wpts_i.shape)
+    valid_b = scan.valid[None, :] & rowmask[:, None]
+    ids_b = jnp.where(rowmask[:, None], ids_i[None], cfg.map.num_cells)
+    new_map = fleet_add_points(states.map, cfg.map, wpts_b, valid_b)
+    new_map = fleet_build_touched(new_map, cfg.map, ids_b)
+
+    zero3 = jnp.zeros((3,), dtype)
+    new_states = SlamState(
+        map=new_map,
+        align=AlignState(
+            # A recovery jump is not robot motion: pose_diff := 0 so the
+            # next deviation doesn't explode (slam_step's bookkeeping).
+            prev_pose=states.align.prev_pose.at[idx].set(pose),
+            pose_diff=states.align.pose_diff.at[idx].set(
+                jnp.where(accept, zero3, states.align.pose_diff[idx])
+            ),
+            iter=states.align.iter,
+        ),
+        og=states.og,
+        pose=states.pose.at[idx].set(pose),
+        step=states.step,
+        fitness=states.fitness.at[idx].set(
+            jnp.where(accept, -cost / nv, states.fitness[idx])
+        ),
+        recoveries=states.recoveries.at[idx].add(accept.astype(jnp.int32)),
+        prev_ids=states.prev_ids.at[idx].set(
+            jnp.where(accept, ids_i, states.prev_ids[idx])
+        ),
+    )
+    return new_states, pose, cost, accept
+
+
+def _check_fleet_cfg(cfg: SlamConfig, allow_recovery: bool = False) -> None:
+    if cfg.recovery.enabled and not allow_recovery:
         raise ValueError(
-            "the flat-fleet path does not compile the recovery branch "
-            "(batched lax.cond executes both branches for every robot); "
-            "use run_offline_batch for recovery-enabled fleets"
+            "offline flat-fleet runners cannot take the recovery branch "
+            "mid-scan (the host escalation loop is not in lax.scan); use "
+            "SlamSessionPool / fleet_pool_step + relocalize_fleet_robot "
+            "for recovery-enabled fleets, or run_offline_batch"
         )
     if cfg.og.enabled:
         raise ValueError(
@@ -316,10 +559,10 @@ def _check_fleet_cfg(cfg: SlamConfig) -> None:
             "run_offline_batch (or raster per robot offline from the map "
             "state export)"
         )
-    if cfg.cost_mode.startswith("rollout"):
+    if cfg.cost_mode.startswith("rollout") and cfg.optimizer != "pso":
         raise ValueError(
-            "Pallas rollout modes are not vmappable across the fleet; use "
-            "an XLA cost mode (deployment default: local_exact)"
+            "rollout cost modes implement the deployed PSO update rule "
+            f"only; optimizer={cfg.optimizer!r} needs an XLA cost mode"
         )
 
 
@@ -334,7 +577,7 @@ def _run_offline_fleet_impl(states, scans, base_keys, cfg):
                 )
             )
         )(base_keys)
-        states, pose, cost = _fleet_step(states, scan_t, keys, cfg)
+        states, pose, cost, _lost = _fleet_step(states, scan_t, keys, cfg)
         return (states, i + 1), (pose, cost)
 
     xs = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), scans)

@@ -101,11 +101,12 @@ class SlamSessionPool:
         # the pooled step through unbatched flat scatters, which donation
         # really does update in place — the vmapped step's batched
         # scatters copy the whole map state per poll at deployment scale.
-        # Recovery / OG / rollout-mode pools keep the vmapped step.
-        self._use_flat = not (
-            cfg.recovery.enabled or cfg.og.enabled
-            or cfg.cost_mode.startswith("rollout")
-        )
+        # Rollout modes run as one B=robots kernel call in the flat step;
+        # recovery runs flat with in-step quarantine + host-escalated
+        # relocalization of flagged robots (fleet.relocalize_fleet_robot).
+        # Only OG pools keep the vmapped step (the flat step does not
+        # raster occupancy grids).
+        self._use_flat = not cfg.og.enabled
         # Eager per-leaf copies: the jitted init can alias identical
         # all-zero leaves to ONE buffer, which pool_step's donation then
         # rejects ("attempt to donate the same buffer twice").  Unique
@@ -145,15 +146,47 @@ class SlamSessionPool:
         scans = Scan(
             points=jnp.asarray(np.stack(pts)), valid=jnp.asarray(np.stack(vld))
         )
-        step_fn = pool_step
         if self._use_flat:
-            from ndtpso_slam_tpu.parallel.fleet import fleet_pool_step as step_fn
-        self.states, poses, costs = step_fn(
-            self.states, scans, self.base_keys, jnp.asarray(active), self.cfg
-        )
+            from ndtpso_slam_tpu.parallel.fleet import fleet_pool_step
+
+            self.states, poses, costs, lost = fleet_pool_step(
+                self.states, scans, self.base_keys, jnp.asarray(active),
+                self.cfg,
+            )
+        else:
+            self.states, poses, costs = pool_step(
+                self.states, scans, self.base_keys, jnp.asarray(active),
+                self.cfg,
+            )
+            lost = None
         out: Dict[int, Tuple[np.ndarray, float]] = {}
-        poses_h = np.asarray(poses)
-        costs_h = np.asarray(costs)
+        poses_h = np.array(poses)  # writable copy: escalation rewrites rows
+        costs_h = np.array(costs)
+        if lost is not None and self.cfg.recovery.enabled:
+            # Host-side escalation: the flat step only FLAGS lost robots
+            # (quarantining their scans); each one relocalizes here through
+            # the solo 3-stage sweep on its own state slice — the other
+            # robots' rows stay untouched bitwise
+            # (fleet.relocalize_fleet_robot).
+            from ndtpso_slam_tpu.parallel.fleet import relocalize_fleet_robot
+
+            for sid in np.nonzero(np.asarray(lost))[0]:
+                # Same per-step key the step's solves drew from (the solo
+                # recovery branch reuses the step key too).
+                key = jnp.stack(
+                    rng.threefry2x32(
+                        (self.base_keys[sid, 0], self.base_keys[sid, 1]),
+                        jnp.asarray(self.steps[sid], jnp.uint32),
+                        jnp.asarray(0, jnp.uint32),
+                    )
+                )
+                scan_i = Scan(points=scans.points[sid], valid=scans.valid[sid])
+                self.states, pose_i, cost_i, _acc = relocalize_fleet_robot(
+                    self.states, jnp.asarray(sid, jnp.int32), scan_i, key,
+                    self.cfg,
+                )
+                poses_h[sid] = np.asarray(pose_i)
+                costs_h[sid] = float(cost_i)
         for sid in np.nonzero(active)[0]:
             self.steps[sid] += 1
             out[int(sid)] = (poses_h[sid], float(costs_h[sid]))

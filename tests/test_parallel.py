@@ -338,12 +338,49 @@ def test_fleet_flat_rejects_unsupported_configs():
     cfg, logs, scans, init_poses, keys = _fleet_fixture(b=2, n_scans=4)
     states = slam_mod.init_slam_batch(cfg, init_poses)
     for bad in (
+        # Offline runners cannot host-escalate mid-scan; recovery fleets go
+        # through fleet_pool_step + relocalize_fleet_robot.
         dataclasses.replace(cfg, recovery=cfgm.RecoveryConfig(enabled=True)),
         dataclasses.replace(cfg, og=cfgm.OccupancyGridConfig(enabled=True)),
-        dataclasses.replace(cfg, cost_mode="rollout"),
+        # Rollout modes are supported, but only with the deployed PSO rule.
+        dataclasses.replace(cfg, cost_mode="rollout", optimizer="glir"),
     ):
         with pytest.raises(ValueError):
             run_offline_fleet(states, scans, keys, bad)
+
+
+def test_fleet_rollout_local_matches_solo_bitwise():
+    """The fleet's rollout path (_align_rollout_fleet: ONE kernel call with
+    B = robots) reproduces each robot's solo run_offline (B=1 kernel calls)
+    bitwise — kernel grid steps are independent, so batching robots through
+    the grid must not change any solve."""
+    from ndtpso_slam_tpu.models import slam as slam_mod
+    from ndtpso_slam_tpu.parallel.fleet import run_offline_fleet
+
+    cfg, logs, scans, init_poses, keys = _fleet_fixture(b=2, n_scans=5)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, cost_mode="rollout_local")
+    states = slam_mod.init_slam_batch(cfg, init_poses)
+    fstates, fposes, fcosts = run_offline_fleet(states, scans, keys, cfg)
+    for r in range(2):
+        solo = slam_mod.init_slam(cfg, initial_pose=tuple(init_poses[r]))
+        sscans = jax.tree_util.tree_map(lambda x: x[r], scans)
+        solo, sposes, scosts = slam_mod.run_offline(
+            solo, sscans, (keys[r, 0], keys[r, 1]), cfg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fposes[r]), np.asarray(sposes),
+            err_msg=f"robot {r} rollout poses diverged from solo",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fcosts[r]), np.asarray(scosts),
+            err_msg=f"robot {r} rollout costs diverged from solo",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fstates.map.mean_c)[r], np.asarray(solo.map.mean_c),
+            err_msg=f"robot {r} map diverged from solo",
+        )
 
 
 def test_fleet_sharded_matches_unsharded():
