@@ -93,9 +93,11 @@ def main():
                     help="batch config, rollout modes: stop a solve once the "
                     "global best stalls K consecutive iterations (--iters "
                     "becomes a cap; 0 = the reference's fixed budget). "
-                    "Default: 4 for turbo batch modes (the headline "
-                    "operating point, accuracy gate asserted in-bench), "
-                    "0 otherwise")
+                    "Default: 2 for turbo batch modes (the measured knee — "
+                    "ee2 beats ee4's median accuracy at +12%% throughput "
+                    "with the same max error, while ee1 degrades the tail "
+                    "5x; accuracy gate asserted in-bench), 4 for turbo "
+                    "multiswarm, 0 otherwise")
     ap.add_argument("--cells", type=float, default=1.0)
     ap.add_argument(
         "--config", default="batch",
@@ -199,10 +201,12 @@ def main():
             50 if args.config in ("slam", "recovery", "latency") else 4096
         )
     if args.early_exit is None:
-        args.early_exit = (
-            4 if args.config in ("batch", "multiswarm") and "turbo" in args.mode
-            else 0
-        )
+        if "turbo" in args.mode and args.config == "batch":
+            args.early_exit = 2
+        elif "turbo" in args.mode and args.config == "multiswarm":
+            args.early_exit = 4
+        else:
+            args.early_exit = 0
 
     if args.config == "slam":
         return bench_slam(args)

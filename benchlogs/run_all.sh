@@ -17,8 +17,13 @@ run_t() { t=$1; name=$2; shift 2; \
           NDTPSO_BENCH_TIMEOUT=$t python bench.py "$@" >"$out/$name.json" 2>"$out/$name.log"; \
           echo "=== $name rc=$? $(cat $out/$name.json)"; }
 
-# Config 2 — batched solves (B=256, 4096p x 50i; turbo defaults to ee4)
-run batch_rollout_turbo_ee4           --config batch --mode rollout_turbo
+# Config 2 — batched solves (B=256, 4096p x 50i; turbo defaults to ee2,
+# the r5 measured knee)
+run batch_rollout_turbo_ee2           --config batch --mode rollout_turbo
+run batch_rollout_turbo_bf16_ee2      --config batch --mode rollout_turbo_bf16
+run batch_rollout_turbo_ee1           --config batch --mode rollout_turbo --early-exit 1
+run batch_rollout_turbo_ee3           --config batch --mode rollout_turbo --early-exit 3
+run batch_rollout_turbo_ee4           --config batch --mode rollout_turbo --early-exit 4
 run batch_rollout_turbo_ee4_sharded1  --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 4
 run batch_rollout_turbo_ee6_sharded1  --config batch --mode rollout_turbo --sharded --devices 1 --early-exit 6
 run batch_rollout_turbo_bf16_ee4_sharded1 --config batch --mode rollout_turbo_bf16 --sharded --devices 1 --early-exit 4
@@ -47,9 +52,36 @@ run_t 900 slam_fullscale_8robots_r8192      --config slam --full-scale --robots 
 run_t 900 slam_soak2400 --config slam --soak 2400 --og
 run_t 900 slam_soak2400_noog --config slam --soak 2400 --reps 2
 
-# Recovery — kidnapped-robot relocalization event latency
+# Fleet rollout — the flagship kernels driving the 2/8-robot fleets
+# (ONE B=robots Pallas call per step, parallel/fleet.py:_align_rollout_fleet)
+run_t 900 slam_fullscale_2robots_r8192_flat_rollout_local_turbo \
+    --config slam --full-scale --robots 2 --ring-rows 8192 --fleet-mode flat \
+    --mode rollout_local_turbo --reps 3
+run_t 900 slam_fullscale_8robots_r8192_flat_rollout_local_turbo \
+    --config slam --full-scale --robots 8 --ring-rows 8192 --fleet-mode flat \
+    --mode rollout_local_turbo --reps 3
+
+# Recovery — kidnapped-robot relocalization event latency (pure defaults:
+# grid_beam_stride=0 auto-resolves per map scale)
 run recovery             --config recovery
 run_t 900 recovery_fullscale --config recovery --full-scale
+
+# Latency — one-scan-in-one-pose-out dispatch distribution (p50/p95 +
+# no-op relay floor; the reference's 10 Hz online operating mode)
+run latency_fullscale --config latency --full-scale --reps 100
+run latency_fullscale_rollout --config latency --full-scale --reps 100 \
+    --mode rollout_local_turbo
+
+# Batch early-exit through the LOCAL rollout kernel (forwarding fixed r5)
+run batch_rollout_local_ee4 --config batch --mode rollout_local --early-exit 4
+
+# Fleet recovery escalation + 2-process gloo throughput (standalone
+# experiment drivers, own artifacts)
+timeout 1200 python experiments/fleet_recovery_latency.py \
+    > $out/fleet_recovery_latency.log 2>&1 \
+    || echo "fleet_recovery_latency FAILED rc=$?"
+timeout 900 python experiments/dist_bench.py \
+    > $out/dist_bench.log 2>&1 || echo "dist_bench FAILED rc=$?"
 
 # Config 4 — multi-swarm relocalization (16 x 4096p x 50i; turbo modes
 # default to --early-exit 4, the headline operating point)

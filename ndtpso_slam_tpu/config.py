@@ -134,6 +134,17 @@ class ScanConfig:
 
     max_beams: int = 1024
     ignore_epsilon: float = LASER_IGNORE_EPSILON
+    # `PREFER_FRONTAL_POINTS` (`config.h:11`, `ndtframe.cpp:157-182`):
+    # decimate side-looking beams by a running Σcos(θ) > 0.5 threshold at
+    # load.  Compile-time OFF upstream and off here; the knob exists for
+    # parity (it solved a CPU-era point-budget problem that the TPU's
+    # fixed padded beam axis makes free — see PARITY.md), implemented in
+    # models/scan.py:_frontal_keep_mask with the reference's exact
+    # accumulate-test-reset semantics.  It is lossy by design: on the
+    # 30-scan test fixture it drops ~20% of beams and roughly triples
+    # mean trajectory drift (0.09 -> 0.26 m) — leave it off unless
+    # reproducing upstream-with-the-flag behavior.
+    prefer_frontal_points: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

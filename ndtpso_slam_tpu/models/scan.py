@@ -23,6 +23,34 @@ class Scan(struct.PyTreeNode):
     valid: jnp.ndarray  # [N] bool
 
 
+def _frontal_keep_mask(theta: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """`PREFER_FRONTAL_POINTS` beam decimation (`ndtframe.cpp:157-182`,
+    compile-time OFF upstream, `config.h:11`).
+
+    Reference semantics, exactly: walk the beams in order, accumulating
+    ``Δθ += cos(θ)`` over VALID beams only (invalid beams leave the
+    accumulator untouched); a beam is KEPT when the accumulated |Δθ|
+    exceeds 0.5, which resets the accumulator.  Frontal beams
+    (|cos θ| ≈ 1) pass every time; side-looking beams (|cos θ| ≈ 0) are
+    decimated roughly 1-in-⌈0.5/|cos θ|⌉.  The running reset makes this a
+    sequential threshold-accumulator, not a cumsum — one tiny [N]
+    `lax.scan` at load time (load runs per scan on the host path; the hot
+    loops never see it).  f32 accumulation mirrors the reference's
+    ``float delta_theta``."""
+    import jax
+
+    c = jnp.cos(theta).astype(jnp.float32)
+
+    def step(delta, inp):
+        v, ci = inp
+        d = delta + jnp.where(v, ci, 0.0)
+        keep = v & (jnp.abs(d) > 0.5)
+        return jnp.where(keep, 0.0, d), keep
+
+    _, keep = jax.lax.scan(step, jnp.float32(0.0), (valid, c))
+    return keep
+
+
 def load_laser(
     ranges: jnp.ndarray,
     angle_min,
@@ -56,6 +84,8 @@ def load_laser(
     )
     idx = jnp.arange(cfg.max_beams, dtype=dtype)
     theta = index_to_angle(idx, jnp.asarray(angle_increment, dtype), jnp.asarray(angle_min, dtype))
+    if cfg.prefer_frontal_points:
+        valid = valid & _frontal_keep_mask(theta, valid)
     points = polar_to_point(ranges, theta)
     if mount is not None:
         mount = jnp.asarray(mount, dtype)

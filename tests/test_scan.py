@@ -59,3 +59,38 @@ def test_frame_border_invalidation():
 def test_oversized_scan_rejected():
     with pytest.raises(AssertionError, match="max_beams"):
         load_laser(np.ones(20, np.float32), 0.0, 0.1, 30.0, CFG)
+
+
+def test_prefer_frontal_points_matches_reference_loop():
+    """PREFER_FRONTAL_POINTS (`ndtframe.cpp:157-182`, compile-time off
+    upstream): the lax.scan threshold-accumulator must reproduce the
+    reference's sequential accumulate-test-reset loop exactly, including
+    invalid beams leaving the accumulator untouched."""
+    rs = np.random.RandomState(7)
+    n = 360
+    ranges = rs.uniform(0.5, 20.0, n).astype(np.float32)
+    ranges[rs.rand(n) < 0.15] = 0.0  # dropouts interleaved
+    angle_min, inc, rmax = -np.pi, 2 * np.pi / n, 30.0
+    cfg = ScanConfig(max_beams=512, prefer_frontal_points=True)
+    sc = load_laser(ranges, angle_min, inc, rmax, cfg)
+    got = np.asarray(sc.valid)
+
+    # Reference loop in plain numpy (float32 accumulator, like the C++).
+    want = np.zeros(512, bool)
+    delta = np.float32(0.0)
+    for i in range(n):
+        if 0.0 < ranges[i] < rmax and ranges[i] > cfg.ignore_epsilon:
+            # f32 throughout, matching load_laser's index_to_angle
+            # (idx * step + min_angle on f32 operands).
+            theta = np.float32(i) * np.float32(inc) + np.float32(angle_min)
+            delta = np.float32(delta + np.float32(np.cos(theta)))
+            if abs(delta) > 0.5:
+                want[i] = True
+                delta = np.float32(0.0)
+    np.testing.assert_array_equal(got, want)
+    # Decimation actually decimates: side-looking beams thinned, frontal
+    # kept — overall fewer beams than the undecimated load.
+    base = load_laser(ranges, angle_min, inc, rmax,
+                      ScanConfig(max_beams=512))
+    assert got.sum() < np.asarray(base.valid).sum()
+    assert got.sum() > 0
