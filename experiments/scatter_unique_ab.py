@@ -291,3 +291,19 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# --- CODA: the dense-window build reformulation, costed with this file's
+# measurements and NOT built (round 5).  The idea: dynamic-slice a P=128
+# cell window around each robot's pose, run the build DENSELY on all
+# window cells (bit-identical: for untouched cells old_slot == cur by the
+# build-after-ingest invariant, so no ring read is needed for them), and
+# write the window back — replacing the 22 cell-field gather/scatter
+# passes with ~0.2 ms of dense traffic.  It dies on the ring: touched
+# cells still need their real old-slot values, so the ring keeps its 6
+# row passes AND gains 6 staging passes (scatter old_* into the window,
+# gather new slot values back out) — net 31 -> 23 row passes at
+# ~0.68 ms/pass ≈ 17-18 ms/step projected vs 21.8 today (~460 scans/s at
+# 8 robots), under the >=560 bar that would justify the complexity and
+# the window-edge parity risk.  Recorded so the next round doesn't
+# re-derive it.

@@ -83,6 +83,10 @@ class NodeConfig:
     # the memory/fleet knob (ring HBM and per-step copy traffic shrink by
     # C/R; size R to the deployment's visited-cell count).
     ring_rows: int = 0
+    # PREFER_FRONTAL_POINTS beam decimation (`config.h:11`) — the
+    # reference's compile-time knob as a runtime one.  Off by default like
+    # upstream; lossy by design (ScanConfig.prefer_frontal_points).
+    prefer_frontal_points: bool = False
 
     def slam_config(self) -> cfgm.SlamConfig:
         map_cfg = cfgm.MapConfig(
@@ -106,7 +110,10 @@ class NodeConfig:
                 w_damping=self.pso_w_damping,
             ),
             map=map_cfg,
-            scan=cfgm.ScanConfig(max_beams=self.max_beams),
+            scan=cfgm.ScanConfig(
+                max_beams=self.max_beams,
+                prefer_frontal_points=self.prefer_frontal_points,
+            ),
             og=cfgm.OccupancyGridConfig(
                 cell_size_m=self.og_cell_size_m, enabled=self.build_og
             ),
@@ -500,6 +507,10 @@ def main(argv=None):
         "--recovery", action="store_true",
         help="enable tracking-loss detection + multi-swarm relocalization",
     )
+    ap.add_argument(
+        "--prefer-frontal-points", action="store_true",
+        help="the reference's PREFER_FRONTAL_POINTS beam decimation "
+        "(config.h:11; off upstream) — lossy, see ScanConfig")
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--quiet", action="store_true")
@@ -519,6 +530,8 @@ def main(argv=None):
         overrides["build_og"] = True
     if args.recovery:
         overrides["recovery"] = True
+    if args.prefer_frontal_points:
+        overrides["prefer_frontal_points"] = True
     if args.save_images:
         overrides["save_map_images"] = True
     def build_cfg(config_path):
