@@ -75,8 +75,11 @@ run latency_fullscale --config latency --full-scale --reps 100
 run latency_fullscale_rollout --config latency --full-scale --reps 100 \
     --mode rollout_local_turbo
 
-# Batch early-exit through the LOCAL rollout kernel (forwarding fixed r5)
-run batch_rollout_local_ee4 --config batch --mode rollout_local --early-exit 4
+# Batch early-exit through the LOCAL rollout kernel (forwarding fixed r5).
+# 128p: the local kernel's batch niche is reference-budget populations —
+# its per-(point,particle) VPU work is off-roofline at 4096p.
+run batch_rollout_local_ee4 --config batch --mode rollout_local \
+    --early-exit 4 --particles 128 --batch 64
 
 # Fleet recovery escalation + 2-process gloo throughput (standalone
 # experiment drivers, own artifacts)
