@@ -169,8 +169,11 @@ class RecoveryConfig:
     §5 "failure detection: none").  This is a new capability: per-scan match
     fitness (mean exact NDT score per valid beam, in [0, 1]) gates a
     K-hypothesis multi-swarm relocalization (`parallel/multi_swarm.py`)
-    around the last trusted pose; the relocalized pose is adopted only if its
-    exact cost beats the failed align.  Off by default — enabling it compiles
+    around the last trusted pose; the relocalized pose is adopted only if
+    its exact cost beats the failed align AND its fitness clears the same
+    loss threshold (a merely-less-terrible pose is rejected — an
+    unrecoverable kidnap stays observable rather than corrupting the
+    map).  Off by default — enabling it compiles
     the recovery branch into `slam_step` (executed only when triggered, via
     `lax.cond`).
     """

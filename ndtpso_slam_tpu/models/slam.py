@@ -447,7 +447,16 @@ def slam_step(
 
         def recover(_):
             rpose, rcost = _relocalize(key, snap, scan, state.pose, pose, cfg)
-            accept = rcost < cost
+            # Accept bar: strictly better than the failed align AND healthy
+            # by the same fitness gate that declared the loss — a
+            # relocalization that is merely "less terrible" must not be
+            # adopted (it would zero pose_diff and, downstream, ingest the
+            # scan at a still-wrong pose).  Unrecoverable kidnaps (outside
+            # the search spread) therefore stay rejected and observable.
+            rfit = -rcost / jnp.maximum(n_valid, 1).astype(dtype)
+            accept = (rcost < cost) & (
+                rfit >= jnp.asarray(rc.fitness_threshold, dtype)
+            )
             return (
                 jnp.where(accept, rpose, pose),
                 jnp.where(accept, rcost, cost),

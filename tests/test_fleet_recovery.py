@@ -137,3 +137,41 @@ def test_fleet_dropout_dead_reckons_in_step():
     res = pool.poll()
     err = np.hypot(res[1][0][0] - poses[5][0], res[1][0][1] - poses[5][1])
     assert float(err) < 0.15
+
+
+def test_fleet_escalation_rejects_unrecoverable_kidnap():
+    """A kidnap far outside the relocalization spread must be REJECTED:
+    the failed pose is kept, the quarantined scan is never ingested, the
+    recovery counter stays 0, and the robot keeps getting flagged lost on
+    subsequent polls (so an operator can see it) — no silent corruption."""
+    cfg = _cfg()
+    segs = synthetic.make_world(seed=11, size=40.0, n_boxes=6)
+    crawl = [(0.06 * i, 0.03 * i, 0.01 * i) for i in range(8)]
+    # Teleport ~12 m away: outside the (3, 3, pi) recovery spread and into
+    # geometry the map has never seen.
+    far = (12.0, -11.0, 0.4)
+    base_keys = np.array([[71, 3], [71, 4]], np.uint32)
+    pool = SlamSessionPool(cfg, np.float32([crawl[0], crawl[0]]), base_keys)
+    for t in range(8):
+        for sid in (0, 1):
+            pool.submit(sid, _scan_at(segs, crawl[t], cfg))
+        pool.poll()
+    counts_before = int(np.asarray(pool.states.map.g_count)[1].sum()) + int(
+        np.asarray(pool.states.map.cur_count)[1].sum()
+    )
+    pose_before = np.asarray(pool.states.pose)[1].copy()
+    for _ in range(2):  # two far-kidnap polls: flagged + escalated each time
+        pool.submit(0, _scan_at(segs, crawl[7], cfg))
+        pool.submit(1, _scan_at(segs, far, cfg))
+        pool.poll()
+    assert int(np.asarray(pool.states.recoveries)[1]) == 0, (
+        "unrecoverable kidnap must not be accepted"
+    )
+    counts_after = int(np.asarray(pool.states.map.g_count)[1].sum()) + int(
+        np.asarray(pool.states.map.cur_count)[1].sum()
+    )
+    assert counts_after == counts_before, "quarantined scans were ingested"
+    # Fitness stays below the loss threshold -> still observably lost.
+    assert float(np.asarray(pool.states.fitness)[1]) < cfg.recovery.fitness_threshold
+    # The healthy robot is unaffected throughout.
+    assert int(np.asarray(pool.states.recoveries)[0]) == 0
