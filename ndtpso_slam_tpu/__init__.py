@@ -10,6 +10,7 @@ from ndtpso_slam_tpu.config import (
     MapConfig,
     OccupancyGridConfig,
     PSOConfig,
+    RecoveryConfig,
     ScanConfig,
     SlamConfig,
     scan_launch_config,
