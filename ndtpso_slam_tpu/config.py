@@ -170,10 +170,11 @@ class RecoveryConfig:
     fitness (mean exact NDT score per valid beam, in [0, 1]) gates a
     K-hypothesis multi-swarm relocalization (`parallel/multi_swarm.py`)
     around the last trusted pose; the relocalized pose is adopted only if
-    its exact cost beats the failed align AND its fitness clears the same
-    loss threshold (a merely-less-terrible pose is rejected — an
-    unrecoverable kidnap stays observable rather than corrupting the
-    map).  Off by default — enabling it compiles
+    its exact cost beats the failed align AND its fitness lands inside
+    the sane band [``accept_fitness``, 1] (a merely-less-terrible pose is
+    rejected — an unrecoverable kidnap stays observable rather than
+    corrupting the map — and so is the indefinite-inverse score blow-up,
+    see ``accept_fitness``).  Off by default — enabling it compiles
     the recovery branch into `slam_step` (executed only when triggered, via
     `lax.cond`).
     """
@@ -183,6 +184,19 @@ class RecoveryConfig:
     # Healthy indoor tracking measures ~0.4-0.7; a teleported/diverged pose
     # scores <0.05.
     fitness_threshold: float = 0.15
+    # Acceptance floor for a RELOCALIZED pose's fitness.  Deliberately
+    # below fitness_threshold: a correct recovery against a thinly-mapped
+    # region legitimately scores under the healthy bar (measured 0.092 at
+    # deployment scale for a 5 cm-accurate relocalization vs 0.242 for
+    # the same pose at test scale), while garbage "recoveries" measure
+    # ≲0.02.  The accept bar also rejects fitness > 1.0: a sane mean
+    # per-beam score cannot exceed exp(0) = 1, so anything above it is
+    # the reference's indefinite-regularized-inverse pathology
+    # (`ndtcell.cpp:93-111` fabricates a positive determinant around an
+    # adjugate that can be indefinite, so exp(-q/2) can blow up far from
+    # the mean — replicated faithfully in ops/gaussian.py for parity, but
+    # it must not win an accept decision).
+    accept_fitness: float = 0.05
     # Stage 1: exact-cost scoring of a dense (nx, ny, ntheta) pose grid over
     # +-spread around the last trusted pose — brute-force basin search is one
     # big batched eval, exactly what the chip is good at.  Grid spacing at the

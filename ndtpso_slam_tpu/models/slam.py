@@ -447,15 +447,20 @@ def slam_step(
 
         def recover(_):
             rpose, rcost = _relocalize(key, snap, scan, state.pose, pose, cfg)
-            # Accept bar: strictly better than the failed align AND healthy
-            # by the same fitness gate that declared the loss — a
-            # relocalization that is merely "less terrible" must not be
-            # adopted (it would zero pose_diff and, downstream, ingest the
-            # scan at a still-wrong pose).  Unrecoverable kidnaps (outside
-            # the search spread) therefore stay rejected and observable.
+            # Accept bar: strictly better than the failed align AND inside
+            # the SANE fitness band [accept_fitness, 1].  The floor rejects
+            # merely-less-terrible poses (an unrecoverable kidnap outside
+            # the search spread stays rejected and observable instead of
+            # zeroing pose_diff / ingesting at a wrong pose); the ceiling
+            # rejects the indefinite-inverse score blow-up (mean per-beam
+            # score cannot legitimately exceed exp(0) = 1 — see
+            # RecoveryConfig.accept_fitness).  NaN fails every comparison,
+            # so pathological costs can never accept.
             rfit = -rcost / jnp.maximum(n_valid, 1).astype(dtype)
-            accept = (rcost < cost) & (
-                rfit >= jnp.asarray(rc.fitness_threshold, dtype)
+            accept = (
+                (rcost < cost)
+                & (rfit >= jnp.asarray(rc.accept_fitness, dtype))
+                & (rfit <= jnp.asarray(1.0, dtype))
             )
             return (
                 jnp.where(accept, rpose, pose),

@@ -499,12 +499,17 @@ def relocalize_fleet_robot(
     n_valid = jnp.sum(scan.valid)
     nv = jnp.maximum(n_valid, 1).astype(dtype)
     cur_cost = -states.fitness[idx] * nv
-    # Same accept bar as slam_step's recovery: strictly better AND healthy
-    # by the fitness gate — a merely-less-terrible pose must not be adopted
-    # (acceptance ingests the quarantined scan; a garbage accept would
-    # corrupt the map).  Rejected robots stay flagged lost on later polls.
-    accept = (rcost < cur_cost) & (
-        (-rcost / nv) >= jnp.asarray(cfg.recovery.fitness_threshold, dtype)
+    # Same accept bar as slam_step's recovery: strictly better AND inside
+    # the sane fitness band [accept_fitness, 1] — a merely-less-terrible
+    # pose must not be adopted (acceptance ingests the quarantined scan;
+    # a garbage accept would corrupt the map) and neither may an
+    # indefinite-inverse score blow-up (RecoveryConfig.accept_fitness).
+    # Rejected robots stay flagged lost on later polls.
+    rfit = -rcost / nv
+    accept = (
+        (rcost < cur_cost)
+        & (rfit >= jnp.asarray(cfg.recovery.accept_fitness, dtype))
+        & (rfit <= jnp.asarray(1.0, dtype))
     )
     pose = jnp.where(accept, rpose, last_pose)
     cost = jnp.where(accept, rcost, cur_cost)
