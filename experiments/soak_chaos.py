@@ -42,7 +42,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 VARIANTS = {
-    # name: (cost_mode, key, point_scale)
+    # name: (cost_mode, key, point_scale[, recovery])
+    # The *_rec variants re-run the two CATASTROPHIC chaos draws with the
+    # engine's own tracking-loss recovery enabled (pure defaults): does
+    # the failure-detection layer convert a diverging draw into a
+    # recovered run, or is chaotic dwell drift self-consistent (map
+    # drifts with the robot, fitness stays healthy, loss invisible)?
+    "xla_key3_rec": ("local_exact", (101, 77), 1.0, True),
+    "xla_ulp_neg_rec": ("local_exact", (3, 9), 1.0 - 2.0 ** -24, True),
     "xla_base": ("local_exact", (3, 9), 1.0),
     "xla_key1": ("local_exact", (5, 13), 1.0),
     "xla_key2": ("local_exact", (7, 21), 1.0),
@@ -64,7 +71,9 @@ def main():
     ap.add_argument("--variant", required=True, choices=sorted(VARIANTS))
     ap.add_argument("--scans", type=int, default=2400)
     args = ap.parse_args()
-    mode, key, scale = VARIANTS[args.variant]
+    variant = VARIANTS[args.variant]
+    mode, key, scale = variant[:3]
+    recovery_on = bool(variant[3]) if len(variant) > 3 else False
 
     import jax
     import jax.numpy as jnp
@@ -92,6 +101,7 @@ def main():
         map=cfgm.MapConfig(size_m=300.0, cell_side_m=0.5, window_slots=100),
         scan=cfgm.ScanConfig(max_beams=384),
         og=cfgm.OccupancyGridConfig(enabled=False),
+        recovery=cfgm.RecoveryConfig(enabled=recovery_on),
         cost_mode=mode,
     )
     t0 = time.time()
@@ -138,6 +148,8 @@ def main():
         "err_at_600": round(float(err[min(600, len(err) - 1)]), 4),
         "err_last_100_mean": round(float(err[-100:].mean()), 4),
         "scans_per_s": round(args.scans / dt, 1),
+        "recovery_enabled": recovery_on,
+        "recoveries": int(np.asarray(final_state.recoveries)),
     }
     log(json.dumps(res))
     out_dir = os.path.join(ROOT, "benchlogs", "soak_chaos")
